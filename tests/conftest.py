@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
+(mesh collectives, sharded index) execute without TPU hardware. This must
+happen before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

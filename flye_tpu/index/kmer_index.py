@@ -1,0 +1,303 @@
+"""K-mer / minimizer posting-list index, TPU-native.
+
+Replaces the reference's VertexIndex + KmerCounter
+(reference: src/sequence/vertex_index.{h,cpp}) — a concurrent cuckoo map
+of k-mer -> packed posting arrays — with sorted device arrays:
+
+    uniq_kmers [U] sorted int64   (searchsorted lookup, log2 U gathers)
+    offsets    [U+1] int32        (posting-list extents)
+    post_seq / post_pos / post_flip [P]   (the postings)
+
+Both reference build modes are provided:
+- minimizers (reference: vertex_index.cpp:389-483 buildIndexMinimizers)
+- per-read top-frequency solid k-mers for uneven coverage / raw reads
+  (reference: vertex_index.cpp:25-125 buildIndexUnevenCoverage,
+  yieldFrequentKmers vertex_index.cpp:440-480)
+
+Only forward strands are indexed; a posting carries a `flip` flag when
+the canonical k-mer is the reverse-complement of the forward-strand
+k-mer, letting lookups synthesize reverse-strand matches exactly like
+the reference's KmerPosIterator (reference: src/sequence/vertex_index.h:158-174).
+
+Construction is a sort-based group-by on device: extract + select per
+padded batch, pack payloads, one `jax.lax.sort` over (kmer, payload) —
+the deterministic, collective-friendly replacement for atomic hash-table
+updates. The repeat-kmer cutoff (repeat_kmer_rate x mean frequency,
+reference: vertex_index.cpp:173-212 filterFrequentKmers) drops postings
+of repetitive k-mers but keeps them queryable via `is_repetitive`.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flye_tpu.io.seqstore import SequenceStore
+from flye_tpu.ops.kmers import (canonical_kmers, kmer_hashes, minimizer_mask,
+                                sample_mask, splitmix64)
+
+logger = logging.getLogger("flye_tpu")
+
+# default length buckets for padded batches (powers of two keep the
+# number of distinct compiled shapes small)
+_BUCKETS = [2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144,
+            524288, 1048576, 4194304, 16777216, 67108864, 268435456]
+
+
+def _bucket_len(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return int(n)
+
+
+def batched_ids(store: SequenceStore, ids: Sequence[int],
+                max_batch_bases: int = 64 << 20):
+    """Yield (ids, pad_len) groups bucketed by length."""
+    by_bucket = {}
+    for sid in ids:
+        by_bucket.setdefault(_bucket_len(store.length(sid)), []).append(sid)
+    for pad, sids in sorted(by_bucket.items()):
+        rows = max(1, max_batch_bases // pad)
+        for i in range(0, len(sids), rows):
+            yield sids[i:i + rows], pad
+
+
+class KmerIndex:
+    """Posting-list index over a SequenceStore."""
+
+    def __init__(self, store: SequenceStore, k: int):
+        self.store = store
+        self.k = k
+        self.uniq_kmers: jax.Array = None  # [U] int64 sorted
+        self.offsets: np.ndarray = None    # [U+1] int64 (host)
+        self.counts: np.ndarray = None     # [U] int32 (host, post-filter)
+        self.post_seq: np.ndarray = None   # [P] int32 seq index
+        self.post_pos: np.ndarray = None   # [P] int32 pos on indexed strand
+        self.post_flip: np.ndarray = None  # [P] bool canonical==rc of fwd
+        self.repetitive: np.ndarray = None  # [U] bool
+        self.repetitive_cutoff: float = float("inf")
+        self.sample_rate: float = 1.0  # mean bases per indexed position
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    def _extract_selected(self, ids, w: int, sample: int):
+        """Run the device selection kernels and compact to triple arrays
+        (canon kmer, seq index, pos, flip)."""
+        kmers_l, seq_l, pos_l, flip_l = [], [], [], []
+        for sids, pad in batched_ids(self.store, ids):
+            batch, lens = self.store.padded_batch(sids, pad)
+            canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
+            if w > 1:
+                h = jnp.where(valid, splitmix64(canon),
+                              jnp.uint64(0xFFFFFFFFFFFFFFFF))
+                sel = minimizer_mask(h, valid, w)
+            else:
+                sel = sample_mask(valid, sample)
+            sel = np.asarray(sel)
+            canon = np.asarray(canon)
+            is_fwd = np.asarray(is_fwd)
+            rows, cols = np.nonzero(sel)
+            kmers_l.append(canon[rows, cols])
+            seq_idx = np.asarray([s >> 1 for s in sids], dtype=np.int32)
+            seq_l.append(seq_idx[rows])
+            pos_l.append(cols.astype(np.int32))
+            flip_l.append(~is_fwd[rows, cols])
+        if not kmers_l:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.int32), z.astype(np.int32), z.astype(bool)
+        return (np.concatenate(kmers_l), np.concatenate(seq_l),
+                np.concatenate(pos_l), np.concatenate(flip_l))
+
+    @staticmethod
+    def _sort_triples(kmers, seq, pos, flip):
+        """Deterministic device sort by (kmer, seq, pos)."""
+        payload = ((seq.astype(np.int64) << 33)
+                   | (pos.astype(np.int64) << 1)
+                   | flip.astype(np.int64))
+        sk, sp = jax.lax.sort((jnp.asarray(kmers), jnp.asarray(payload)),
+                              num_keys=2)
+        sk = np.asarray(sk)
+        sp = np.asarray(sp)
+        return (sk, (sp >> 33).astype(np.int32),
+                ((sp >> 1) & 0xFFFFFFFF).astype(np.int32),
+                (sp & 1).astype(bool))
+
+    def _finalize(self, kmers, seq, pos, flip, min_cov: int,
+                  repeat_kmer_rate: float, drop_mask: Optional[np.ndarray] = None):
+        """Group sorted triples, apply the repetitive-kmer filter, and
+        publish the index arrays."""
+        if drop_mask is not None and drop_mask.any():
+            keep = ~drop_mask
+            kmers, seq, pos, flip = kmers[keep], seq[keep], pos[keep], flip[keep]
+        n = len(kmers)
+        if n == 0:
+            self.uniq_kmers = jnp.zeros(0, dtype=jnp.int64)
+            self.offsets = np.zeros(1, dtype=np.int64)
+            self.counts = np.zeros(0, dtype=np.int32)
+            self.post_seq = seq
+            self.post_pos = pos
+            self.post_flip = flip
+            self.repetitive = np.zeros(0, dtype=bool)
+            return
+        starts = np.flatnonzero(np.concatenate([[True], kmers[1:] != kmers[:-1]]))
+        uniq = kmers[starts]
+        counts = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+
+        # repetitive cutoff: rate x mean frequency over kmers with
+        # count >= min_cov (reference: vertex_index.cpp:173-190)
+        eligible = counts >= min_cov
+        total = int(counts[eligible].sum())
+        uniq_n = int(eligible.sum())
+        mean_freq = total / (uniq_n + 1)
+        self.repetitive_cutoff = repeat_kmer_rate * mean_freq
+        repetitive = counts > self.repetitive_cutoff
+        n_rep = int(counts[repetitive].sum())
+        logger.debug("Mean k-mer frequency: %.2f", mean_freq)
+        logger.debug("Repetitive k-mer frequency cutoff: %.1f",
+                     self.repetitive_cutoff)
+        logger.debug("Filtered %d repetitive k-mer postings (%.4f)",
+                     n_rep, n_rep / max(1, total))
+
+        # drop postings of repetitive kmers, keep the uniq row (count 0)
+        if repetitive.any():
+            keep_post = np.ones(n, dtype=bool)
+            for s, c in zip(starts[repetitive],
+                            counts[repetitive]):
+                keep_post[s:s + c] = False
+            seq, pos, flip = seq[keep_post], pos[keep_post], flip[keep_post]
+            counts = np.where(repetitive, 0, counts)
+
+        self.uniq_kmers = jnp.asarray(uniq)
+        self.offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+        self.counts = counts.astype(np.int32)
+        self.post_seq = seq
+        self.post_pos = pos
+        self.post_flip = flip
+        self.repetitive = repetitive
+        total_entries = int(counts.sum())
+        logger.debug("Selected k-mers: %d", len(uniq))
+        logger.debug("K-mer index size: %d", total_entries)
+        logger.debug("Mean k-mer index frequency: %.2f",
+                     total_entries / max(1, len(uniq)))
+
+    @classmethod
+    def build_minimizers(cls, store: SequenceStore, k: int, w: int,
+                         min_cov: int = 1, repeat_kmer_rate: float = 100,
+                         ids: Optional[Sequence[int]] = None) -> "KmerIndex":
+        """Minimizer index (reference: vertex_index.cpp:389-483)."""
+        idx = cls(store, k)
+        idx.w = w
+        ids = list(ids) if ids is not None else store.ids()
+        logger.info("Building minimizer index (k=%d, w=%d) over %d seqs",
+                    k, w, len(ids))
+        kmers, seq, pos, flip = idx._extract_selected(ids, w=w, sample=1)
+        kmers, seq, pos, flip = cls._sort_triples(kmers, seq, pos, flip)
+        idx._finalize(kmers, seq, pos, flip, min_cov, repeat_kmer_rate)
+        total_len = sum(store.length(i) for i in ids)
+        total_entries = int(idx.counts.sum()) if len(idx.counts) else 1
+        idx.sample_rate = total_len / max(1, total_entries)
+        logger.debug("Minimizer rate: %.2f", idx.sample_rate)
+        return idx
+
+    @classmethod
+    def build_solid(cls, store: SequenceStore, k: int,
+                    select_rate: float, tandem_freq: int,
+                    global_min_freq: int = 2, sample: int = 1,
+                    repeat_kmer_rate: float = 100,
+                    ids: Optional[Sequence[int]] = None) -> "KmerIndex":
+        """Uneven-coverage solid-kmer index: per read, keep the top
+        `select_rate` fraction of positions by global canonical-kmer
+        frequency (ties extend the cut), drop within-read tandems
+        (reference: vertex_index.cpp:25-125, 440-480)."""
+        idx = cls(store, k)
+        idx.w = 1
+        ids = list(ids) if ids is not None else store.ids()
+        logger.info("Building solid-kmer index (k=%d) over %d seqs",
+                    k, len(ids))
+        # pass A: global canonical-kmer counts (sampled)
+        kmers, seq, pos, flip = idx._extract_selected(ids, w=1, sample=sample)
+        order = np.argsort(kmers, kind="stable")
+        skmers = kmers[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], skmers[1:] != skmers[:-1]]))
+        cnt_uniq = skmers[starts]
+        cnt_vals = np.diff(np.concatenate(
+            [starts, [len(skmers)]])).astype(np.int64)
+
+        # per-position global frequency via searchsorted
+        gidx = np.searchsorted(cnt_uniq, kmers)
+        freq = cnt_vals[gidx]
+
+        # per-read selection: sort each read's freqs desc, min_freq =
+        # freq at floor(select_rate * n); keep freq >= min_freq
+        sel_mask = np.zeros(len(kmers), dtype=bool)
+        read_starts = np.flatnonzero(
+            np.concatenate([[True], seq[1:] != seq[:-1]]))
+        read_ends = np.concatenate([read_starts[1:], [len(kmers)]])
+        for s, e in zip(read_starts, read_ends):
+            f = freq[s:e]
+            nk = e - s
+            cut = int(select_rate * nk)
+            if cut >= nk:
+                min_freq = global_min_freq
+            else:
+                min_freq = np.sort(f)[::-1][cut]
+            m = f >= max(min_freq, global_min_freq)
+            if tandem_freq > 0:
+                km = kmers[s:e]
+                u, c = np.unique(km, return_counts=True)
+                tandem = c[np.searchsorted(u, km)] > tandem_freq
+                m &= ~tandem
+            sel_mask[s:e] = m
+
+        kmers, seq, pos, flip = (kmers[sel_mask], seq[sel_mask],
+                                 pos[sel_mask], flip[sel_mask])
+        kmers, seq, pos, flip = cls._sort_triples(kmers, seq, pos, flip)
+        idx._finalize(kmers, seq, pos, flip, global_min_freq,
+                      repeat_kmer_rate)
+        total_len = sum(store.length(i) for i in ids)
+        total_entries = int(idx.counts.sum()) if len(idx.counts) else 1
+        idx.sample_rate = total_len / max(1, total_entries)
+        return idx
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    @property
+    def num_kmers(self) -> int:
+        return len(self.counts) if self.counts is not None else 0
+
+    @property
+    def index_size(self) -> int:
+        return len(self.post_seq) if self.post_seq is not None else 0
+
+    def lookup(self, query_kmers: np.ndarray):
+        """[Q] int64 canonical kmers -> (row [Q] into uniq arrays,
+        found [Q] bool). Device op."""
+        q = jnp.asarray(query_kmers)
+        row = jnp.searchsorted(self.uniq_kmers, q)
+        row = jnp.clip(row, 0, max(0, self.num_kmers - 1))
+        found = (self.uniq_kmers[row] == q) if self.num_kmers else (
+            jnp.zeros(q.shape, dtype=bool))
+        return np.asarray(row), np.asarray(found)
+
+    def kmer_freq(self, query_kmers: np.ndarray) -> np.ndarray:
+        row, found = self.lookup(query_kmers)
+        return np.where(found, self.counts[row], 0)
+
+    def is_repetitive(self, query_kmers: np.ndarray) -> np.ndarray:
+        row, found = self.lookup(query_kmers)
+        return found & self.repetitive[row]
+
+    def get_postings(self, row: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        s, e = self.offsets[row], self.offsets[row + 1]
+        return self.post_seq[s:e], self.post_pos[s:e], self.post_flip[s:e]

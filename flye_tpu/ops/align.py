@@ -1,0 +1,173 @@
+"""Batched edit-distance kernels and anchored divergence estimation.
+
+Replaces the reference's base-level divergence path — edlib NW edit
+distance over whole overlap regions with optional homopolymer compression
+(reference: src/sequence/alignment.cpp:218-247 getAlignmentErrEdlib,
+alignment.cpp:52-70 HPC) — with a TPU-native anchored formulation:
+
+The chain DP already yields exact-match k-mer anchors every few bases.
+Between consecutive anchors the sequences differ only locally, so the
+overlap's edit distance decomposes into many independent, short segment
+alignments.  Those are batched into [B, S] lanes and solved with a
+Levenshtein row-scan where the within-row dependency is resolved by an
+associative prefix-min (tmp[k]-k), giving S vector steps per batch
+instead of a serial DP — the idiomatic XLA shape for alignment work.
+
+Anchored distance >= true global distance (anchors are forced), but with
+anchors every ~w bases the gap is negligible and the estimate is the
+same flavor minimap2 reports.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# segment-length buckets: one compiled kernel per bucket
+SEGMENT_BUCKETS = (16, 64, 256, 1024)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def edit_distance_batch(a: jax.Array, alen: jax.Array,
+                        b: jax.Array, blen: jax.Array) -> jax.Array:
+    """Levenshtein distance for B sequence pairs.
+
+    a, b: [B, S] uint8 codes (padding arbitrary); alen, blen: [B] int32.
+    Returns [B] int32 distances.
+    """
+    B, S = a.shape
+    big = jnp.int32(2 ** 30)
+    js = jnp.arange(S + 1, dtype=jnp.int32)
+    row0 = jnp.broadcast_to(js, (B, S + 1))
+    result0 = jnp.where(alen[:, None] == 0, row0, big)
+
+    bb = b.astype(jnp.int32)
+
+    def step(carry, i):
+        prev, result = carry
+        ai = jnp.take_along_axis(a.astype(jnp.int32),
+                                 jnp.minimum(i, S - 1)[None].repeat(B)[:, None],
+                                 axis=1)  # [B,1] char a[i]
+        sub = (ai != bb).astype(jnp.int32)          # [B, S]
+        # tmp[j] for j>=1: min(prev[j-1] + sub_{j-1}, prev[j] + 1)
+        tmp = jnp.minimum(prev[:, :-1] + sub, prev[:, 1:] + 1)
+        tmp = jnp.concatenate(
+            [(i + 1)[None].repeat(B)[:, None].astype(jnp.int32), tmp], axis=1)
+        # row[j] = min_{k<=j} tmp[k] + (j - k)
+        g = tmp - js
+        g = jax.lax.associative_scan(jnp.minimum, g, axis=1)
+        row = g + js
+        result = jnp.where((i + 1) == alen[:, None], row, result)
+        return (row, result), None
+
+    (_, result), _ = jax.lax.scan(
+        step, (row0, result0), jnp.arange(S, dtype=jnp.int32))
+    dist = jnp.take_along_axis(result, blen[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+    return dist
+
+
+def hpc_compress(codes: np.ndarray) -> np.ndarray:
+    """Homopolymer-compress a code array (host)."""
+    if len(codes) == 0:
+        return codes
+    keep = np.concatenate([[True], codes[1:] != codes[:-1]])
+    return codes[keep]
+
+
+class SegmentBatcher:
+    """Accumulates (a, b) segment pairs and scores them bucketed by
+    length, amortizing kernel launches across many overlaps."""
+
+    def __init__(self):
+        self._segments: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def add(self, a: np.ndarray, b: np.ndarray) -> int:
+        self._segments.append((a, b))
+        return len(self._segments) - 1
+
+    def run(self) -> np.ndarray:
+        """Edit distance for every added pair, preserving order."""
+        n = len(self._segments)
+        out = np.zeros(n, dtype=np.int64)
+        by_bucket = {}
+        for i, (a, b) in enumerate(self._segments):
+            m = max(len(a), len(b))
+            bucket = None
+            for s in SEGMENT_BUCKETS:
+                if m <= s:
+                    bucket = s
+                    break
+            if bucket is None:
+                # segment longer than the largest bucket: truncate the
+                # tails and charge the length difference (rare giant
+                # indels between anchors)
+                s = SEGMENT_BUCKETS[-1]
+                out[i] += max(len(a), len(b)) - min(s, min(len(a), len(b)))
+                a, b = a[:s], b[:s]
+                bucket = s
+            by_bucket.setdefault(bucket, []).append((i, a, b))
+        for bucket, items in by_bucket.items():
+            B = len(items)
+            av = np.zeros((B, bucket), dtype=np.uint8)
+            bv = np.zeros((B, bucket), dtype=np.uint8)
+            al = np.zeros(B, dtype=np.int32)
+            bl = np.zeros(B, dtype=np.int32)
+            for r, (_, a, b) in enumerate(items):
+                av[r, :len(a)] = a
+                bv[r, :len(b)] = b
+                al[r] = len(a)
+                bl[r] = len(b)
+            d = np.asarray(edit_distance_batch(av, al, bv, bl))
+            for r, (i, _, _) in enumerate(items):
+                out[i] += int(d[r])
+        self._segments = []
+        return out
+
+
+def anchored_divergence(cur_codes: np.ndarray, ext_codes: np.ndarray,
+                        anchors: np.ndarray, k: int,
+                        use_hpc: bool = False,
+                        batcher: Optional[SegmentBatcher] = None):
+    """Split an overlap at its k-mer anchors and queue the inter-anchor
+    segments for batched edit-distance scoring.
+
+    anchors: [N, 2] ascending (cur_pos, ext_pos) including both overlap
+    ends (the engine appends them). Returns a closure that, once the
+    batcher has run, yields (divergence, per-segment distances).
+    """
+    own = batcher is None
+    if own:
+        batcher = SegmentBatcher()
+    seg_ids = []
+    spans = []
+    for (c0, e0), (c1, e1) in zip(anchors[:-1], anchors[1:]):
+        a = cur_codes[c0:c1]
+        b = ext_codes[e0:e1]
+        if use_hpc:
+            a, b = hpc_compress(a), hpc_compress(b)
+        spans.append((c1 - c0, e1 - e0))
+        if len(a) == 0 and len(b) == 0:
+            seg_ids.append(None)
+        else:
+            seg_ids.append(batcher.add(a, b))
+
+    def finish(dists: np.ndarray):
+        total = 0
+        per_seg = []
+        for sid in seg_ids:
+            d = 0 if sid is None else int(dists[sid])
+            per_seg.append(d)
+            total += d
+        aln_len = max(anchors[-1][0] - anchors[0][0],
+                      anchors[-1][1] - anchors[0][1]) + k
+        return total / max(1, aln_len), np.asarray(per_seg), np.asarray(spans)
+
+    if own:
+        d = batcher.run()
+        return finish(d)
+    return finish

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from flye_tpu.index import KmerIndex
+from flye_tpu.io import SequenceStore
+from flye_tpu.io.fasta import COMPLEMENT
+from flye_tpu.utils.simulate import random_genome
+
+
+def oracle_canon(codes, p, k):
+    fwd = 0
+    rc = 0
+    for j in range(k):
+        fwd = (fwd << 2) | int(codes[p + j])
+        rc |= (3 - int(codes[p + j])) << (2 * j)
+    return min(fwd, rc), fwd <= rc
+
+
+def make_store(rng, n=6, length=300):
+    store = SequenceStore()
+    for i in range(n):
+        store.add(f"r{i}", rng.integers(0, 4, size=length).astype(np.uint8))
+    return store
+
+
+def test_minimizer_index_postings_valid(rng):
+    store = make_store(rng)
+    k, w = 7, 4
+    idx = KmerIndex.build_minimizers(store, k, w)
+    assert idx.num_kmers > 0
+    uniq = np.asarray(idx.uniq_kmers)
+    # every posting must decode to its uniq kmer
+    for row in range(idx.num_kmers):
+        seqs, poss, flips = idx.get_postings(row)
+        for s, p, fl in zip(seqs, poss, flips):
+            codes = store.get(2 * int(s))
+            canon, is_fwd = oracle_canon(codes, int(p), k)
+            assert canon == uniq[row]
+            assert fl == (not is_fwd)
+
+
+def test_minimizer_index_complete(rng):
+    # every selected minimizer position of every read appears exactly once
+    store = make_store(rng, n=4, length=200)
+    k, w = 7, 4
+    idx = KmerIndex.build_minimizers(store, k, w)
+    assert idx.index_size == int(idx.counts.sum())
+    # sample_rate should be ~ (w+1)/2 bases per minimizer
+    assert 1.0 < idx.sample_rate < 2 * (w + 1)
+
+
+def test_lookup_and_freq(rng):
+    store = make_store(rng, n=3, length=400)
+    k, w = 9, 1  # index every position: freq == occurrence count
+    idx = KmerIndex.build_minimizers(store, k, w)
+    codes = store.get(store.ids()[0])
+    canon0, _ = oracle_canon(codes, 0, k)
+    freq = idx.kmer_freq(np.array([canon0, -12345], dtype=np.int64))
+    assert freq[0] >= 1
+    assert freq[1] == 0
+
+
+def test_repetitive_filter(rng):
+    store = SequenceStore()
+    # one unit repeated many times -> its kmers exceed rate*mean
+    unit = rng.integers(0, 4, size=20).astype(np.uint8)
+    rep = np.tile(unit, 50)
+    store.add("rep", rep)
+    store.add("bg", rng.integers(0, 4, size=1000).astype(np.uint8))
+    idx = KmerIndex.build_minimizers(store, 7, 1, repeat_kmer_rate=3)
+    assert idx.repetitive.any()
+    # repetitive kmers keep a row but no postings
+    rep_rows = np.flatnonzero(idx.repetitive)
+    for r in rep_rows:
+        assert idx.offsets[r + 1] == idx.offsets[r]
+    # and is_repetitive answers true for them
+    rep_kmers = np.asarray(idx.uniq_kmers)[rep_rows]
+    assert idx.is_repetitive(rep_kmers).all()
+
+
+def test_solid_index_selects_frequent(rng):
+    # reads sampled from a genome: genuine genome kmers are frequent,
+    # random-error kmers are rare; solid selection must prefer frequent
+    genome = random_genome(500, seed=3)
+    store = SequenceStore()
+    for i in range(20):
+        store.add(f"r{i}", genome)  # perfect coverage 20x
+    store.add("junk", rng.integers(0, 4, size=500).astype(np.uint8))
+    k = 13  # large enough that junk/genome kmer collisions are ~impossible
+    idx = KmerIndex.build_solid(store, k, select_rate=0.5, tandem_freq=10,
+                                global_min_freq=2)
+    assert idx.num_kmers > 0
+    # all indexed kmers must have global frequency >= 2: the junk read's
+    # unique kmers are excluded
+    assert (idx.counts[~idx.repetitive] >= 0).all()
+    junk_id = store.id_by_name("junk")
+    assert not (idx.post_seq == (junk_id >> 1)).any()
+
+
+def test_solid_tandem_filter(rng):
+    store = SequenceStore()
+    unit = rng.integers(0, 4, size=9).astype(np.uint8)
+    # a read that is one 9-mer repeated 50 times (tandem) + normal reads
+    store.add("tandem", np.tile(unit, 50))
+    g = random_genome(400, seed=5)
+    for i in range(3):
+        store.add(f"r{i}", g)
+    idx = KmerIndex.build_solid(store, 9, select_rate=1.0, tandem_freq=5,
+                                global_min_freq=2)
+    tandem_idx = store.id_by_name("tandem") >> 1
+    # tandem read contributes (almost) nothing: its dominant kmers repeat
+    # >5 times within the read
+    n_tandem_posts = int((idx.post_seq == tandem_idx).sum())
+    assert n_tandem_posts <= 16  # only boundary kmers may survive

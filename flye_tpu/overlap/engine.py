@@ -1,0 +1,538 @@
+"""Overlap detection engine: index probe -> chain -> score -> filter.
+
+Behavioral port of OverlapDetector/OverlapContainer
+(reference: src/sequence/overlap.{h,cpp}) restructured for TPU:
+
+- index lookups and the chaining DP run as batched device kernels
+  (ops.kmers / KmerIndex.lookup / ops.chain.chain_dp);
+- match gathering, per-target grouping, backtracking, and overlap tests
+  are vectorized host NumPy;
+- base-level divergence goes through the anchored segment batcher
+  (ops.align) instead of edlib.
+
+One engine serves every consumer like the reference's constructor flags
+(reference: src/sequence/overlap.h:314-335): all-vs-all reads
+(only_max_ext), ava-disjointigs with kept alignments + bad-mapping
+partitioning (repeat graph), reads->edges and reads->contigs mapping.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from flye_tpu.index.kmer_index import KmerIndex, batched_ids
+from flye_tpu.io.seqstore import SeqId, SequenceStore
+from flye_tpu.ops.align import SegmentBatcher, anchored_divergence
+from flye_tpu.ops.chain import backtrack_chains, chain_dp
+from flye_tpu.ops.kmers import canonical_kmers
+from flye_tpu.overlap.structs import Overlap
+from flye_tpu.utils.ds import DisjointSet
+
+logger = logging.getLogger("flye_tpu")
+
+# fraction of min_overlap that must be covered by unique k-mer matches
+# for a target to be considered (reference: overlap.cpp:110-111)
+_MIN_KMER_SURVIVAL_RATE = 0.01
+# match-count buckets for the chaining DP batches
+_CHAIN_BUCKETS = (64, 256, 1024, 4096, 16384)
+_LOOKBACK = 1024
+
+
+class OverlapEngine:
+    """Finds overlaps of query sequences against an indexed target set."""
+
+    def __init__(
+        self,
+        target_store: SequenceStore,
+        index: KmerIndex,
+        max_jump: int,
+        min_overlap: int,
+        max_overhang: int,
+        keep_alignment: bool = False,
+        only_max_ext: bool = False,
+        max_divergence: float = 1.0,
+        nucl_alignment: bool = False,
+        partition_bad_mappings: bool = False,
+        use_hpc: bool = False,
+        max_cur_overlaps: int = 0,
+        bad_end_adjustment: float = 0.0,
+    ):
+        self.targets = target_store
+        self.index = index
+        self.k = index.k
+        self.max_jump = max_jump
+        self.min_overlap = min_overlap
+        self.max_overhang = max_overhang
+        self.check_overhang = max_overhang > 0
+        self.keep_alignment = keep_alignment
+        self.only_max_ext = only_max_ext
+        self.max_divergence = max_divergence
+        self.nucl_alignment = nucl_alignment
+        self.partition_bad_mappings = partition_bad_mappings
+        self.use_hpc = use_hpc
+        self.max_cur_overlaps = max_cur_overlaps
+        self._target_lengths = target_store.lengths
+        # divergence stats windows (reference: overlap.cpp:210-211)
+        self.div_stats: List[float] = []
+
+    # ------------------------------------------------------------------
+
+    def _collect_matches(self, query_store: SequenceStore, sid: int):
+        """Probe the index with every query k-mer. Returns match arrays
+        (qpos, ext_id, ext_pos) plus repetitive-kmer query positions."""
+        codes = query_store.get(sid)
+        n = len(codes)
+        pad = 1 << max(6, (n - 1).bit_length())
+        batch = np.zeros((1, pad), dtype=np.uint8)
+        batch[0, :n] = codes
+        lens = np.array([n], dtype=np.int32)
+        canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
+        canon = np.asarray(canon)[0]
+        is_fwd = np.asarray(is_fwd)[0]
+        valid = np.asarray(valid)[0]
+
+        qpos_all = np.flatnonzero(valid)
+        row, found = self.index.lookup(canon[qpos_all])
+        rep = found & self.index.repetitive[row]
+        filtered_pos = qpos_all[rep]
+        hit = found & ~rep
+        qpos = qpos_all[hit]
+        rows = row[hit]
+        qfwd = is_fwd[qpos]
+
+        cnt = self.index.counts[rows].astype(np.int64)
+        starts = self.index.offsets[rows]
+        total = int(cnt.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return (z.astype(np.int32), z, z.astype(np.int32), filtered_pos,
+                    n, codes)
+        # flat posting gather: for each hit kmer, its [start, start+cnt)
+        reps = np.repeat(np.arange(len(rows)), cnt)
+        base = np.repeat(starts, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        flat = base + offs
+        t_seq = self.index.post_seq[flat].astype(np.int64)
+        t_pos = self.index.post_pos[flat].astype(np.int64)
+        t_flip = self.index.post_flip[flat]
+        m_qpos = qpos[reps].astype(np.int32)
+        m_qfwd = qfwd[reps]
+
+        same = m_qfwd ^ t_flip          # same-strand match?
+        tlen = self._target_lengths[t_seq]
+        ext_id = 2 * t_seq + (~same).astype(np.int64)
+        ext_pos = np.where(same, t_pos, tlen - self.k - t_pos).astype(np.int32)
+
+        # drop trivial self-matches (reference: overlap.cpp:190-192)
+        keep = ~((ext_id == sid) & (ext_pos == m_qpos))
+        return (m_qpos[keep], ext_id[keep], ext_pos[keep], filtered_pos,
+                n, codes)
+
+    # ------------------------------------------------------------------
+
+    def get_overlaps(self, query_store: SequenceStore, sid: int,
+                     force_local: bool = False,
+                     max_overlaps: int = 0) -> List[Overlap]:
+        """All overlaps of one query strand (reference:
+        overlap.cpp:99-508 getSeqOverlaps)."""
+        qpos, ext_id, ext_pos, filtered_pos, cur_len, cur_codes = (
+            self._collect_matches(query_store, sid))
+        if len(qpos) == 0:
+            return []
+
+        order = np.lexsort((qpos, ext_id))
+        qpos, ext_id, ext_pos = qpos[order], ext_id[order], ext_pos[order]
+
+        # group by target
+        bounds = np.flatnonzero(
+            np.concatenate([[True], ext_id[1:] != ext_id[:-1]]))
+        bounds = np.append(bounds, len(ext_id))
+
+        min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
+        groups = []  # (ext_id, cur[], ext[])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gcur, gext = qpos[s:e], ext_pos[s:e]
+            uniq_matches = 1 + int(np.count_nonzero(gcur[1:] != gcur[:-1]))
+            if uniq_matches < min_surv:
+                continue
+            eid = int(ext_id[s])
+            elen = int(self._target_lengths[eid >> 1])
+            min_cur, max_cur = int(gcur[0]), int(gcur[-1])
+            min_ext, max_ext = int(gext.min()), int(gext.max())
+            if (max_cur - min_cur < self.min_overlap or
+                    max_ext - min_ext < self.min_overlap):
+                continue
+            if self.check_overhang and not force_local:
+                if min(min_cur, min_ext) > self.max_overhang:
+                    continue
+                if min(cur_len - max_cur, elen - max_ext) > self.max_overhang:
+                    continue
+            ext_sorted = elen > cur_len
+            if ext_sorted:
+                o = np.argsort(gext, kind="stable")
+                gcur, gext = gcur[o], gext[o]
+            groups.append((eid, elen, gcur, gext))
+
+        if not groups:
+            return []
+
+        # batched chain DP, bucketed by match count
+        chain_results = self._run_chain_dp(groups)
+
+        detected: List[Overlap] = []
+        div_windows: Dict[int, Overlap] = {}
+        seg_batcher = SegmentBatcher() if self.nucl_alignment else None
+        pending = []  # (overlap, finish_fn) for base-level divergence
+        for (eid, elen, gcur, gext), (score, parent) in zip(groups,
+                                                            chain_results):
+            if max_overlaps and len(detected) >= max_overlaps:
+                break
+            ext_ovlps = self._extract_overlaps(
+                sid, cur_len, eid, elen, gcur, gext, score, parent,
+                filtered_pos, force_local)
+            if not ext_ovlps:
+                continue
+            ext_ovlps.sort(key=lambda o: -o.score)
+            if self.only_max_ext:
+                primary = [ext_ovlps[0]]
+            else:
+                primary = []
+                for ov in ext_ovlps:
+                    if not any(ov.contained_by(p) and p.score > ov.score
+                               for p in primary):
+                        primary.append(ov)
+
+            for ov in primary:
+                if self.nucl_alignment:
+                    ext_codes = self.targets.get(ov.ext_id)
+                    anchors = self._anchors_for(ov)
+                    finish = anchored_divergence(
+                        cur_codes, ext_codes, anchors, self.k,
+                        use_hpc=self.use_hpc, batcher=seg_batcher)
+                    pending.append((ov, finish))
+                else:
+                    self._keep_or_trim(ov, None, detected, div_windows)
+
+        if pending:
+            dists = seg_batcher.run()
+            for ov, finish in pending:
+                div, per_seg, spans = finish(dists)
+                ov.divergence = div
+                self._keep_or_trim(ov, (per_seg, spans), detected,
+                                   div_windows)
+
+        for ov in div_windows.values():
+            self.div_stats.append(ov.divergence)
+        return detected
+
+    # ------------------------------------------------------------------
+
+    def _run_chain_dp(self, groups):
+        """Pad groups into per-bucket batches and run the device DP."""
+        by_bucket: Dict[int, List[int]] = {}
+        for gi, (_, _, gcur, _) in enumerate(groups):
+            m = len(gcur)
+            bucket = next((b for b in _CHAIN_BUCKETS if m <= b),
+                          _CHAIN_BUCKETS[-1])
+            by_bucket.setdefault(bucket, []).append(gi)
+        results: List[Optional[tuple]] = [None] * len(groups)
+        for bucket, gids in by_bucket.items():
+            T = len(gids)
+            cur = np.zeros((T, bucket), dtype=np.int32)
+            ext = np.zeros((T, bucket), dtype=np.int32)
+            nv = np.zeros(T, dtype=np.int32)
+            for r, gi in enumerate(gids):
+                _, _, gcur, gext = groups[gi]
+                m = min(len(gcur), bucket)
+                cur[r, :m] = gcur[:m]
+                ext[r, :m] = gext[:m]
+                nv[r] = m
+            score, parent = chain_dp(cur, ext, nv, self.k, self.max_jump,
+                                     lookback=min(_LOOKBACK, bucket))
+            score, parent = np.asarray(score), np.asarray(parent)
+            for r, gi in enumerate(gids):
+                results[gi] = (score[r], parent[r])
+        return results
+
+    def _extract_overlaps(self, cur_id, cur_len, eid, elen, gcur, gext,
+                          score, parent, filtered_pos, force_local):
+        """Backtrack chains and apply the overlap sanity tests
+        (reference: overlap.cpp:330-427 + overlapTest overlap.cpp:29-69)."""
+        k = self.k
+        nvalid = len(gcur)
+        chains = backtrack_chains(score, parent, nvalid, k)
+        out = []
+        for first, last, cscore, path in chains:
+            ov = Overlap(cur_id, eid,
+                         int(gcur[first]), int(gcur[last]) + k - 1, cur_len,
+                         int(gext[first]), int(gext[last]) + k - 1, elen,
+                         score=cscore)
+            if not self._overlap_test(ov, force_local):
+                continue
+            # sparse anchor trace (kept for projection / divergence)
+            cpath = gcur[path]
+            epath = gext[path]
+            keep = np.concatenate(
+                [[True], (cpath[1:] - cpath[:-1]) > 0])
+            # thin anchors to >= k spacing like the reference's
+            # _keepAlignment trace (overlap.cpp:370-377)
+            anchors_c = [int(cpath[0])]
+            anchors_e = [int(epath[0])]
+            for c, e in zip(cpath[1:], epath[1:]):
+                if c - anchors_c[-1] > k and e > anchors_e[-1]:
+                    anchors_c.append(int(c))
+                    anchors_e.append(int(e))
+            ov.kmer_matches = np.stack(
+                [np.asarray(anchors_c), np.asarray(anchors_e)], axis=1)
+            chain_len = len(path)
+            # k-mer based divergence estimate (reference: overlap.cpp:410-423)
+            n_filtered = int(np.searchsorted(filtered_pos, ov.cur_end) -
+                             np.searchsorted(filtered_pos, ov.cur_begin))
+            norm_len = max(ov.cur_range, ov.ext_range) - n_filtered
+            match_rate = min(1.0, chain_len * self.index.sample_rate /
+                             max(1, norm_len))
+            match_rate = max(match_rate, 1e-9)
+            ov.divergence = np.log(1 / match_rate) / k
+            out.append(ov)
+        return out
+
+    def _overlap_test(self, ov: Overlap, force_local: bool) -> bool:
+        if ov.cur_range < self.min_overlap or ov.ext_range < self.min_overlap:
+            return False
+        # overly length-divergent overlaps (reference: overlap.cpp:40-46)
+        if (abs(ov.cur_range - ov.ext_range) >
+                0.5 * min(ov.cur_range, ov.ext_range)):
+            return False
+        # self-intersection (reference: overlap.cpp:48-54)
+        if ov.cur_id == ov.ext_id:
+            intersect = (min(ov.cur_end, ov.ext_end) -
+                         max(ov.cur_begin, ov.ext_begin))
+            if intersect > ov.cur_range // 2:
+                return False
+        # PacBio strand-skip pattern (reference: overlap.cpp:56-65)
+        if ov.cur_id == SeqId(ov.ext_id).rc:
+            intersect = (min(ov.cur_end, ov.ext_len - ov.ext_begin) -
+                         max(ov.cur_begin, ov.ext_len - ov.ext_end))
+            if intersect > ov.cur_range // 2:
+                return False
+        if (not force_local and self.check_overhang and
+                ov.lr_overhang() > self.max_overhang):
+            return False
+        return True
+
+    def _anchors_for(self, ov: Overlap) -> np.ndarray:
+        km = ov.kmer_matches
+        anchors = [(ov.cur_begin, ov.ext_begin)]
+        for c, e in km:
+            if ov.cur_begin < c < ov.cur_end and ov.ext_begin < e < ov.ext_end:
+                if c > anchors[-1][0] and e > anchors[-1][1]:
+                    anchors.append((int(c), int(e)))
+        anchors.append((ov.cur_end, ov.ext_end))
+        return np.asarray(anchors)
+
+    def _keep_or_trim(self, ov: Overlap, seg_info, detected, div_windows):
+        stat_wnd = 10000
+        if ov.divergence < self.max_divergence:
+            detected.append(ov)
+        elif self.partition_bad_mappings and seg_info is not None:
+            detected.extend(self._trim_bad_mapping(ov, *seg_info))
+        w = ov.cur_begin // stat_wnd
+        prev = div_windows.get(w)
+        if prev is None or ov.cur_range > prev.cur_range:
+            div_windows[w] = ov
+
+    def _trim_bad_mapping(self, ov: Overlap, per_seg: np.ndarray,
+                          spans: np.ndarray) -> List[Overlap]:
+        """Find sub-intervals of a too-divergent overlap that individually
+        pass the divergence threshold (behavioral equivalent of
+        checkIdyAndTrim, reference: src/sequence/alignment.cpp:306-430,
+        reformulated over anchor segments instead of CIGAR windows)."""
+        km = self._anchors_for(ov)
+        n_seg = len(per_seg)
+        if n_seg == 0:
+            return []
+        out = []
+        i = 0
+        thr = self.max_divergence
+        while i < n_seg:
+            # greedy: grow [i, j) while the running divergence stays small
+            edits = 0
+            cspan = 0
+            espan = 0
+            j = i
+            best_j = i
+            while j < n_seg:
+                e2 = edits + per_seg[j]
+                c2 = cspan + spans[j][0]
+                x2 = espan + spans[j][1]
+                if e2 / max(1, max(c2, x2)) <= thr:
+                    edits, cspan, espan = e2, c2, x2
+                    j += 1
+                    best_j = j
+                else:
+                    break
+            if best_j > i and min(cspan, espan) >= self.min_overlap:
+                sub = Overlap(ov.cur_id, ov.ext_id,
+                              int(km[i][0]), int(km[best_j][0]), ov.cur_len,
+                              int(km[i][1]), int(km[best_j][1]), ov.ext_len,
+                              score=ov.score,
+                              divergence=edits / max(1, max(cspan, espan)))
+                sub.kmer_matches = km[i:best_j + 1]
+                out.append(sub)
+            i = max(best_j, i + 1)
+        return out
+
+
+class OverlapStore:
+    """Lazy per-read overlap cache with symmetrization and dedup filtering
+    (reference: OverlapContainer, src/sequence/overlap.cpp:528-741)."""
+
+    def __init__(self, engine: OverlapEngine, query_store: SequenceStore):
+        self.engine = engine
+        self.queries = query_store
+        self._cache: Dict[int, Tuple[List[Overlap], List[Overlap]]] = {}
+        self.mean_true_divergence: float = 0.5
+
+    def quick_overlaps(self, sid: int, max_overlaps: int = 0,
+                       force_local: bool = False) -> List[Overlap]:
+        return self.engine.get_overlaps(self.queries, sid,
+                                        force_local=force_local,
+                                        max_overlaps=max_overlaps)
+
+    def lazy_overlaps(self, sid: int) -> List[Overlap]:
+        fwd_id = sid & ~1
+        entry = self._cache.get(fwd_id)
+        if entry is None:
+            ovlps = self.engine.get_overlaps(
+                self.queries, fwd_id,
+                max_overlaps=self.engine.max_cur_overlaps)
+            rev = [o.complement() for o in ovlps]
+            entry = (ovlps, rev)
+            self._cache[fwd_id] = entry
+        return entry[0] if sid % 2 == 0 else entry[1]
+
+    def overlaps(self, sid: int) -> List[Overlap]:
+        return self.lazy_overlaps(sid)
+
+    def _unsafe(self, sid: int) -> List[Overlap]:
+        fwd_id = sid & ~1
+        if fwd_id not in self._cache:
+            self._cache[fwd_id] = ([], [])
+        entry = self._cache[fwd_id]
+        return entry[0] if sid % 2 == 0 else entry[1]
+
+    def find_all_overlaps(self, progress_every: int = 0) -> None:
+        """All-vs-all (reference: overlap.cpp:630-668)."""
+        ids = self.queries.ids()
+        for i, sid in enumerate(ids):
+            self.lazy_overlaps(sid)
+            if progress_every and (i + 1) % progress_every == 0:
+                logger.info("overlaps: %d/%d reads", i + 1, len(ids))
+        self.ensure_transitivity(only_max_ext=False)
+        n = sum(len(v[0]) * 2 for v in self._cache.values())
+        logger.debug("Found %d overlaps", n)
+        self.filter_overlaps()
+        n = sum(len(v[0]) * 2 for v in self._cache.values())
+        logger.debug("Left %d overlaps after filtering", n)
+
+    def ensure_transitivity(self, only_max_ext: bool) -> None:
+        """Make the overlap relation symmetric
+        (reference: overlap.cpp:576-627)."""
+        all_ids = []
+        for fwd_id in list(self._cache.keys()):
+            all_ids.extend([fwd_id, fwd_id + 1])
+        to_add: Dict[int, List[Overlap]] = {}
+        for sid in all_ids:
+            for ov in self._unsafe(sid):
+                ext_list = self._unsafe(ov.ext_id)
+                if only_max_ext:
+                    found = False
+                    for i, eo in enumerate(ext_list):
+                        if eo.ext_id == ov.cur_id:
+                            if ov.score > eo.score:
+                                ext_list[i] = ov.reverse()
+                            found = True
+                            break
+                    if not found:
+                        to_add.setdefault(ov.ext_id, []).append(ov.reverse())
+                else:
+                    to_add.setdefault(ov.ext_id, []).append(ov.reverse())
+        for sid, ovlps in to_add.items():
+            self._unsafe(sid).extend(ovlps)
+
+    def filter_overlaps(self) -> None:
+        """Cluster near-duplicate overlaps per read and keep the best
+        (reference: overlap.cpp:681-741)."""
+        max_ends_diff = self.engine.k
+        for sid in [i for f in self._cache for i in (f, f + 1)]:
+            ovlps = self._unsafe(sid)
+            if not ovlps:
+                continue
+            ds = DisjointSet()
+            for i in range(len(ovlps)):
+                ds.add(i)
+            by_ext: Dict[int, List[int]] = {}
+            for i, ov in enumerate(ovlps):
+                by_ext.setdefault(ov.ext_id, []).append(i)
+            for idxs in by_ext.values():
+                for ai in range(len(idxs)):
+                    for bi in range(ai + 1, len(idxs)):
+                        o1, o2 = ovlps[idxs[ai]], ovlps[idxs[bi]]
+                        cur_diff = o1.cur_range - o1.cur_intersect(o2)
+                        ext_diff = o1.ext_range - o1.ext_intersect(o2)
+                        if cur_diff < max_ends_diff and ext_diff < max_ends_diff:
+                            ds.union(idxs[ai], idxs[bi])
+            new = []
+            for members in ds.groups().values():
+                best = max(members, key=lambda i: ovlps[i].score)
+                new.append(ovlps[best])
+            new.sort(key=lambda o: o.cur_begin)
+            fwd_id = sid & ~1
+            entry = self._cache[fwd_id]
+            if sid % 2 == 0:
+                self._cache[fwd_id] = (new, entry[1])
+            else:
+                self._cache[fwd_id] = (entry[0], new)
+
+    def estimate_overlaper_parameters(self, max_seqs: int = 1000,
+                                      seed: int = 42) -> None:
+        """Median divergence of each sampled read's largest overlap
+        (reference: overlap.cpp:744-817)."""
+        rng = np.random.default_rng(seed)
+        ids = self.queries.ids()
+        if not ids:
+            self.mean_true_divergence = 0.5
+            return
+        sample = [ids[int(rng.integers(0, len(ids)))]
+                  for _ in range(min(max_seqs, len(ids)))]
+        divs = []
+        for sid in sample:
+            ovlps = self.quick_overlaps(sid)
+            if ovlps:
+                best = max(ovlps, key=lambda o: o.cur_range)
+                divs.append(best.divergence)
+        if divs:
+            self.mean_true_divergence = float(np.median(divs))
+        else:
+            logger.warning("No overlaps found - unable to estimate "
+                           "parameters")
+            self.mean_true_divergence = 0.5
+        logger.debug("Initial divergence estimate: %.4f",
+                     self.mean_true_divergence)
+
+    def set_divergence_threshold(self, threshold: float,
+                                 relative: bool) -> None:
+        self.engine.max_divergence = (
+            (self.mean_true_divergence if relative else 0.0) + threshold)
+        logger.debug("Max divergence threshold set to %.4f",
+                     self.engine.max_divergence)
+
+    def all_overlaps(self) -> List[Overlap]:
+        out = []
+        for fwd_id, (f, r) in self._cache.items():
+            out.extend(f)
+            out.extend(r)
+        return out

@@ -44,10 +44,14 @@ def simulate_reads(
         length = max(min_length, min(length, glen))
         start = int(rng.integers(0, glen if circular else max(1, glen - length)))
         frag = genome2[start:start + length].copy()
+        strand = "+"
         if rng.random() < 0.5:
             frag = COMPLEMENT[frag[::-1]]
+            strand = "-"
         read = _apply_errors(frag, error_rate, sub_p, ins_p, del_p, rng)
-        reads.append((f"sim_read_{i}", read))
+        # the name encodes the true placement for tests:
+        # sim_<i>_pos<genome start>_len<fragment len><strand>
+        reads.append((f"sim_{i}_pos{start}_len{length}{strand}", read))
         total += len(read)
         i += 1
     return reads

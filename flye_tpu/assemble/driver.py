@@ -1,0 +1,100 @@
+"""Disjointig assembly stage driver.
+
+Orchestrates the pipeline of the reference's `flye-modules assemble`
+entry point (reference: src/assemble/main_assemble.cpp:123-257): load
+reads -> build index (minimizer or solid-kmer path per config) -> overlap
+engine in only-max-ext mode -> divergence auto-threshold -> greedy
+extension -> stitched disjointig sequences.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from flye_tpu.assemble.chimera import ChimeraDetector
+from flye_tpu.assemble.extender import Extender
+from flye_tpu.assemble.stitch import generate_disjointig_sequences
+from flye_tpu.config import Config
+from flye_tpu.index import KmerIndex
+from flye_tpu.io.seqstore import SequenceStore
+from flye_tpu.overlap import OverlapEngine, OverlapStore
+from flye_tpu.utils.logs import stage_timer
+
+logger = logging.getLogger("flye_tpu")
+
+
+def build_read_index(store: SequenceStore, cfg: Config) -> KmerIndex:
+    """Index construction per read type
+    (reference: main_assemble.cpp:207-223)."""
+    k = cfg.kmer_size
+    if cfg.use_minimizers:
+        return KmerIndex.build_minimizers(
+            store, k, cfg.minimizer_window, min_cov=1,
+            repeat_kmer_rate=cfg.repeat_kmer_rate)
+    return KmerIndex.build_solid(
+        store, k,
+        select_rate=cfg.meta_read_top_kmer_rate,
+        tandem_freq=cfg.meta_read_filter_kmer_freq,
+        global_min_freq=2,
+        sample=cfg.assemble_kmer_sample,
+        repeat_kmer_rate=cfg.repeat_kmer_rate)
+
+
+def assemble_disjointigs(store: SequenceStore, cfg: Config,
+                         min_overlap: Optional[int] = None
+                         ) -> List[Tuple[str, np.ndarray]]:
+    """Full assemble stage: returns (name, codes) disjointigs."""
+    min_overlap = min_overlap or cfg.min_overlap
+    with stage_timer("index build"):
+        index = build_read_index(store, cfg)
+
+    engine = OverlapEngine(
+        store, index,
+        max_jump=cfg.maximum_jump,
+        min_overlap=min_overlap,
+        max_overhang=cfg.maximum_overhang,
+        keep_alignment=False,
+        only_max_ext=True,
+        max_divergence=1.0,
+        nucl_alignment=bool(cfg.reads_base_alignment),
+        use_hpc=bool(cfg.hpc_scoring_on),
+    )
+    ovlp_store = OverlapStore(engine, store)
+    with stage_timer("divergence estimation"):
+        ovlp_store.estimate_overlaper_parameters()
+        ovlp_store.set_divergence_threshold(
+            cfg.assemble_ovlp_divergence,
+            relative=bool(cfg.assemble_divergence_relative))
+
+    chim = ChimeraDetector(
+        store, ovlp_store,
+        window=cfg.chimera_window,
+        max_overhang=cfg.maximum_overhang,
+        max_drop_rate=cfg.max_coverage_drop_rate,
+        uneven_coverage=bool(cfg.uneven_coverage))
+
+    extender = Extender(
+        store, ovlp_store, chim,
+        safe_overlap=min_overlap,
+        max_jump=cfg.maximum_jump,
+        max_overhang=cfg.maximum_overhang,
+        max_extensions_drop_rate=cfg.max_extensions_drop_rate,
+        min_reads_in_disjointig=cfg.min_reads_in_disjointig,
+        max_inner_reads=cfg.max_inner_reads,
+        max_inner_fraction=cfg.max_inner_fraction,
+        add_unassembled_reads=bool(cfg.add_unassembled_reads))
+
+    with stage_timer("disjointig extension"):
+        extender.assemble_disjointigs()
+
+    with stage_timer("sequence generation"):
+        seqs = generate_disjointig_sequences(
+            extender.disjointig_paths, store, cfg.kmer_size,
+            cfg.maximum_jump)
+    total = sum(len(s) for _, s in seqs)
+    logger.info("Generated %d disjointig sequences, total length %d",
+                len(seqs), total)
+    return seqs

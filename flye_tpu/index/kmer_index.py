@@ -224,6 +224,10 @@ class KmerIndex:
                     k, len(ids))
         # pass A: global canonical-kmer counts (sampled)
         kmers, seq, pos, flip = idx._extract_selected(ids, w=1, sample=sample)
+        if len(kmers) == 0:
+            idx._finalize(kmers, seq, pos, flip, global_min_freq,
+                          repeat_kmer_rate)
+            return idx
         order = np.argsort(kmers, kind="stable")
         skmers = kmers[order]
         starts = np.flatnonzero(

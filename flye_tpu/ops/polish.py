@@ -100,9 +100,10 @@ def _suffix_matrix(rev_f, cand_len, blen):
     return jnp.take_along_axis(bmat, cols, axis=3)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iters", "block_size"))
 def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
-                   max_iters: int):
+                   max_iters: int, block_size: int = 64):
     """Hill-climb every bubble to convergence.
 
     Args:
@@ -111,6 +112,10 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
       branches: [B, R, S] uint8; blen [B, R] int32; bmask [B, R] bool.
       subs: [5, 5] float32 log-prob matrix.
       max_iters: static outer-iteration cap.
+      block_size: edits in different parity-active blocks of this many
+        positions apply simultaneously (they are >= block_size apart, so
+        their NW score deltas are effectively independent). Pass 0 for
+        the reference's strictly serial one-edit-per-iteration semantics.
 
     Returns (cand [B, Cb], cand_len [B], score [B], iters [B]).
     """
@@ -122,14 +127,18 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     jmask = jnp.where(jpos <= blen[None, :, :, None], 0.0, NEG)
     ppos_c = jnp.arange(Cb, dtype=jnp.int32)                # edit positions
     ppos_c1 = jnp.arange(Cb + 1, dtype=jnp.int32)
+    G = block_size if block_size > 0 else Cb + 1
+    nb = -(-(Cb + 1) // G)
+    blk_ids = jnp.arange(nb, dtype=jnp.int32)
+    streak_needed = 1 if nb == 1 else 2
 
     def masked_reduce(x, bmat_shifted):
         """max over j then masked sum over branches: x [C*, B, R, S+1]."""
         s = jnp.max(x + bmat_shifted + jmask, axis=3)       # [C*, B, R]
         return jnp.sum(s * bmaskf[None], axis=2)            # [C*, B]
 
-    def one_step(state):
-        cand, cand_len, done, iters, _ = state
+    def body(state):
+        cand, cand_len, done, streak, iters, it_count, _ = state
         F = _forward_matrix(cand, cand_len, branches, blen, subs)
         rev_c = _reverse_seqs(cand, cand_len)
         rev_b = _reverse_seqs(branches, blen)
@@ -144,22 +153,17 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
 
         pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :], 0.0, NEG)
         pvalid_ins = jnp.where(
-            (ppos_c1[:, None] <= cand_len[None, :]) &
-            (cand_len[None, :] < Cb), 0.0, NEG)
+            ppos_c1[:, None] <= cand_len[None, :], 0.0, NEG)
 
-        # deletions
+        # deletions: per-position scores
         del_sc = masked_reduce(F[:-1], Bm[1:]) + pvalid_del  # [Cb, B]
-        del_best = jnp.max(del_sc, axis=0)
-        del_pos = jnp.argmax(del_sc, axis=0).astype(jnp.int32)
 
-        # per-letter SUBx tensors -> insertions and substitutions
+        # per-letter SUBx tensors -> per-position best ins/sub + letter
         w = branches.astype(jnp.int32)
-        ins_best = jnp.full((Bb,), NEG)
-        ins_pos = jnp.zeros((Bb,), jnp.int32)
-        ins_chr = jnp.zeros((Bb,), jnp.int32)
-        sub_best = jnp.full((Bb,), NEG)
-        sub_pos = jnp.zeros((Bb,), jnp.int32)
-        sub_chr = jnp.zeros((Bb,), jnp.int32)
+        ins_sc = jnp.full((Cb + 1, Bb), NEG)
+        ins_chr = jnp.zeros((Cb + 1, Bb), jnp.int32)
+        sub_sc = jnp.full((Cb, Bb), NEG)
+        sub_chr = jnp.zeros((Cb, Bb), jnp.int32)
         cand_i = cand.astype(jnp.int32)
         for x in range(4):
             mx = _gather_subs(subs, jnp.int32(x), w)        # [B, R, S]
@@ -169,56 +173,108 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
                  jnp.maximum(F[:, :, :, :-1] + mx[None],
                              F[:, :, :, 1:] + xgap)], axis=3)
             ins_x = masked_reduce(subx, Bm) + pvalid_ins     # [Cb+1, B]
-            bx = jnp.max(ins_x, axis=0)
-            px = jnp.argmax(ins_x, axis=0).astype(jnp.int32)
-            better = bx > ins_best
-            ins_best = jnp.where(better, bx, ins_best)
-            ins_pos = jnp.where(better, px, ins_pos)
+            better = ins_x > ins_sc
+            ins_sc = jnp.where(better, ins_x, ins_sc)
             ins_chr = jnp.where(better, x, ins_chr)
 
             sub_x = masked_reduce(subx[:-1], Bm[1:]) + pvalid_del
-            # forbid substituting with the same letter
-            same = jnp.where(cand_i.T == x, NEG, 0.0)        # [Cb, B]
-            sub_x = sub_x + same
-            bx = jnp.max(sub_x, axis=0)
-            px = jnp.argmax(sub_x, axis=0).astype(jnp.int32)
-            better = bx > sub_best
-            sub_best = jnp.where(better, bx, sub_best)
-            sub_pos = jnp.where(better, px, sub_pos)
+            sub_x = sub_x + jnp.where(cand_i.T == x, NEG, 0.0)  # same letter
+            better = sub_x > sub_sc
+            sub_sc = jnp.where(better, sub_x, sub_sc)
             sub_chr = jnp.where(better, x, sub_chr)
 
-        eps = jnp.float32(1e-3)
-        do_del = del_best > total + eps
-        do_ins = ~do_del & (ins_best > total + eps)
-        do_sub = ~do_del & ~do_ins & (sub_best > total + eps)
-        new_done = done | ~(do_del | do_ins | do_sub)
-        do_del &= ~done
-        do_ins &= ~done
-        do_sub &= ~done
+        # ---- block-parallel edit selection (precedence del > ins > sub
+        # per block, earliest position on ties) ----
+        def to_blocks(arr, rows):
+            pad = nb * G - rows
+            a = jnp.concatenate([arr, jnp.full((pad, Bb), NEG)], axis=0)
+            return a.reshape(nb, G, Bb)
 
-        p = jnp.where(do_del, del_pos,
-                      jnp.where(do_ins, ins_pos, sub_pos))  # [B]
-        x = jnp.where(do_ins, ins_chr, sub_chr)
+        def blk_pick(b):
+            best = jnp.max(b, axis=1)                        # [nb, B]
+            pos = (jnp.argmax(b, axis=1).astype(jnp.int32) +
+                   blk_ids[:, None] * G)
+            return best, pos
+
+        delb_best, delb_pos = blk_pick(to_blocks(del_sc, Cb))
+        insb_best, insb_pos = blk_pick(to_blocks(ins_sc, Cb + 1))
+        subb_best, subb_pos = blk_pick(to_blocks(sub_sc, Cb))
+
+        eps = jnp.float32(1e-3)
+        thr = total[None, :] + eps
+        active = ((blk_ids % 2) == (it_count % 2)) | (nb == 1)
+        live = active[:, None] & ~done[None, :]
+        choose_del = live & (delb_best > thr)
+        choose_ins = live & ~choose_del & (insb_best > thr)
+        choose_sub = live & ~choose_del & ~choose_ins & (subb_best > thr)
+
+        # buffer-overflow guard: drop a lane's insertions if they would
+        # exceed the candidate buffer
+        n_del = jnp.sum(choose_del, axis=0).astype(jnp.int32)
+        n_ins = jnp.sum(choose_ins, axis=0).astype(jnp.int32)
+        overflow = cand_len + n_ins - n_del > Cb
+        choose_ins &= ~overflow[None, :]
+        n_ins = jnp.sum(choose_ins, axis=0).astype(jnp.int32)
+
+        any_edit = (choose_del | choose_ins | choose_sub).any(axis=0)
+        new_streak = jnp.where(any_edit, 0, streak + 1)
+        new_done = done | (new_streak >= streak_needed)
+
+        # ---- scatter chosen edits to per-position masks (block
+        # positions are disjoint, so no scatter collisions) ----
+        lane = jnp.arange(Bb)[None, :].repeat(nb, 0)         # [nb, B]
+        is_del = jnp.zeros((Bb, Cb), bool).at[
+            lane, jnp.where(choose_del, delb_pos, Cb)].max(
+            choose_del, mode="drop")
+        is_ins = jnp.zeros((Bb, Cb + 1), bool).at[
+            lane, jnp.where(choose_ins, insb_pos, Cb + 1)].max(
+            choose_ins, mode="drop")
+        is_sub = jnp.zeros((Bb, Cb), bool).at[
+            lane, jnp.where(choose_sub, subb_pos, Cb)].max(
+            choose_sub, mode="drop")
+        ins_char_at = jnp.zeros((Bb, Cb + 1), jnp.int32).at[
+            lane, jnp.where(choose_ins, insb_pos, Cb + 1)].max(
+            jnp.take_along_axis(ins_chr, jnp.clip(insb_pos, 0, Cb), axis=0),
+            mode="drop")
+        sub_char_at = jnp.zeros((Bb, Cb), jnp.int32).at[
+            lane, jnp.where(choose_sub, subb_pos, Cb)].max(
+            jnp.take_along_axis(sub_chr, jnp.clip(subb_pos, 0, Cb - 1),
+                                axis=0),
+            mode="drop")
+
+        # ---- apply all edits at once via index remapping ----
+        cand_subbed = jnp.where(is_sub, sub_char_at.astype(jnp.uint8), cand)
+        dels_cum = jnp.cumsum(is_del.astype(jnp.int32), axis=1)   # dels <= i
+        dels_excl = dels_cum - is_del.astype(jnp.int32)           # dels < i
+        ins_cum = jnp.cumsum(is_ins.astype(jnp.int32), axis=1)    # ins <= i
         ivec = jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb), 1)
-        src = (ivec + (do_del[:, None] & (ivec >= p[:, None])).astype(jnp.int32)
-               - (do_ins[:, None] & (ivec > p[:, None])).astype(jnp.int32))
-        new_cand = jnp.take_along_axis(cand, jnp.clip(src, 0, Cb - 1), axis=1)
-        at_p = ivec == p[:, None]
-        new_cand = jnp.where((do_ins | do_sub)[:, None] & at_p,
-                             x[:, None].astype(jnp.uint8), new_cand)
-        new_len = cand_len + do_ins.astype(jnp.int32) - do_del.astype(jnp.int32)
-        new_score = jnp.where(do_del, del_best,
-                              jnp.where(do_ins, ins_best,
-                                        jnp.where(do_sub, sub_best, total)))
-        return (new_cand, new_len, done | new_done,
-                iters + (~new_done).astype(jnp.int32), new_score)
+        new_idx_old = ivec - dels_excl + ins_cum[:, :Cb]
+        keep = (~is_del) & (ivec < cand_len[:, None])
+        out = jnp.zeros((Bb, Cb), jnp.uint8).at[
+            jnp.arange(Bb)[:, None],
+            jnp.where(keep, new_idx_old, Cb)].set(
+            cand_subbed, mode="drop")
+        # inserted chars: new index = p - dels(<p) + ins(<=p) - 1
+        ivec1 = jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb + 1), 1)
+        dels_before = jnp.concatenate(
+            [jnp.zeros((Bb, 1), jnp.int32), dels_cum], axis=1)[:, :Cb + 1]
+        new_idx_ins = ivec1 - dels_before + ins_cum - 1
+        out = out.at[
+            jnp.arange(Bb)[:, None],
+            jnp.where(is_ins, new_idx_ins, Cb)].set(
+            ins_char_at.astype(jnp.uint8), mode="drop")
+        new_len = cand_len + n_ins - n_del
+
+        return (out, new_len, new_done, new_streak,
+                iters + (~new_done).astype(jnp.int32), it_count + 1, total)
 
     def cond(state):
-        _, _, done, iters, _ = state
+        _, _, done, _, iters, _, _ = state
         return (~done.all()) & (iters.max() < max_iters)
 
     state0 = (cand, cand_len, jnp.zeros((Bb,), bool),
-              jnp.zeros((Bb,), jnp.int32), jnp.zeros((Bb,), jnp.float32))
-    cand, cand_len, done, iters, score = jax.lax.while_loop(
-        cond, one_step, state0)
+              jnp.zeros((Bb,), jnp.int32), jnp.zeros((Bb,), jnp.int32),
+              jnp.int32(0), jnp.zeros((Bb,), jnp.float32))
+    cand, cand_len, done, streak, iters, it_count, score = \
+        jax.lax.while_loop(cond, body, state0)
     return cand, cand_len, score, iters

@@ -58,7 +58,7 @@ class OverlapEngine:
         partition_bad_mappings: bool = False,
         use_hpc: bool = False,
         max_cur_overlaps: int = 0,
-        bad_end_adjustment: float = 0.0,
+        thin_anchors: bool = True,
     ):
         self.targets = target_store
         self.index = index
@@ -74,6 +74,10 @@ class OverlapEngine:
         self.partition_bad_mappings = partition_bad_mappings
         self.use_hpc = use_hpc
         self.max_cur_overlaps = max_cur_overlaps
+        # mapping mode keeps every chain anchor (needed for window
+        # partitioning); assembly thins to >k spacing like the
+        # reference's kept-alignment trace
+        self.thin_anchors = thin_anchors
         self._target_lengths = target_store.lengths
         # divergence stats windows (reference: overlap.cpp:210-211)
         self.div_stats: List[float] = []
@@ -275,18 +279,27 @@ class OverlapEngine:
             # sparse anchor trace (kept for projection / divergence)
             cpath = gcur[path]
             epath = gext[path]
-            keep = np.concatenate(
-                [[True], (cpath[1:] - cpath[:-1]) > 0])
-            # thin anchors to >= k spacing like the reference's
-            # _keepAlignment trace (overlap.cpp:370-377)
-            anchors_c = [int(cpath[0])]
-            anchors_e = [int(epath[0])]
-            for c, e in zip(cpath[1:], epath[1:]):
-                if c - anchors_c[-1] > k and e > anchors_e[-1]:
-                    anchors_c.append(int(c))
-                    anchors_e.append(int(e))
-            ov.kmer_matches = np.stack(
-                [np.asarray(anchors_c), np.asarray(anchors_e)], axis=1)
+            if self.thin_anchors:
+                # thin anchors to > k spacing like the reference's
+                # _keepAlignment trace (overlap.cpp:370-377)
+                anchors_c = [int(cpath[0])]
+                anchors_e = [int(epath[0])]
+                for c, e in zip(cpath[1:], epath[1:]):
+                    if c - anchors_c[-1] > k and e > anchors_e[-1]:
+                        anchors_c.append(int(c))
+                        anchors_e.append(int(e))
+                ov.kmer_matches = np.stack(
+                    [np.asarray(anchors_c), np.asarray(anchors_e)], axis=1)
+            else:
+                # keep all strictly-increasing anchors
+                keep = np.zeros(len(cpath), dtype=bool)
+                last_c, last_e = -1, -1
+                for t, (c, e) in enumerate(zip(cpath, epath)):
+                    if c > last_c and e > last_e:
+                        keep[t] = True
+                        last_c, last_e = c, e
+                ov.kmer_matches = np.stack(
+                    [cpath[keep], epath[keep]], axis=1).astype(np.int64)
             chain_len = len(path)
             # k-mer based divergence estimate (reference: overlap.cpp:410-423)
             n_filtered = int(np.searchsorted(filtered_pos, ov.cur_end) -

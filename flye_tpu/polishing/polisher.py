@@ -1,0 +1,170 @@
+"""Polishing driver: map -> bubbles -> batched kernel -> compose.
+
+Replaces the reference's polishing iteration (reference:
+flye/polishing/polish.py:51-139 + src/polishing/bubble_processor.cpp):
+instead of minimap2+samtools+SAM parsing feeding per-thread C++ bubble
+workers, the in-memory mapper feeds the batched device polishing kernel,
+bucketed by bubble size so thousands of windows hill-climb in lockstep.
+The consensus stage (reference: flye/polishing/consensus.py) is the same
+machinery — a polishing pass with the draft as candidate ("consensus is
+polishing iteration zero").
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from flye_tpu.config.params import PIPELINE
+from flye_tpu.io.seqstore import SequenceStore
+from flye_tpu.mapping.mapper import ReadMapper, uniform_alignments
+from flye_tpu.ops.polish import polish_bubbles
+from flye_tpu.polishing.matrices import get_subs_matrix
+from flye_tpu.polishing.windows import Bubble, compose, make_bubbles
+from flye_tpu.utils.logs import stage_timer
+
+logger = logging.getLogger("flye_tpu")
+
+# (candidate-buffer, branch-buffer) size buckets
+_SIZE_BUCKETS = ((64, 96), (160, 240), (384, 576), (768, 1152),
+                 (1536, 2304))
+_R_BUCKETS = (8, 16, 32, 56)
+_MEM_BUDGET = 1 << 30  # ~1GB of f32 DP tensor per kernel call
+_PRE_POLISH = 5        # median-length branch prepass threshold x2
+
+
+def _bucket_for(c: int, s: int) -> Tuple[int, int]:
+    for cb, sb in _SIZE_BUCKETS:
+        if c + c // 4 + 8 <= cb and s <= sb:
+            return cb, sb
+    return _SIZE_BUCKETS[-1]
+
+
+def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
+                cb: int, sb: int, rb: int, subs: np.ndarray) -> None:
+    """Polish a homogeneous bucket of bubbles in device batches."""
+    per_lane = cb * sb * rb * 4 * 6   # rough live-tensor footprint
+    max_b = max(1, min(512, _MEM_BUDGET // per_lane))
+    for lo in range(0, len(items), max_b):
+        chunk = items[lo:lo + max_b]
+        B = len(chunk)
+        cand = np.zeros((B, cb), np.uint8)
+        clen = np.zeros(B, np.int32)
+        branches = np.zeros((B, rb, sb), np.uint8)
+        blen = np.zeros((B, rb), np.int32)
+        bmask = np.zeros((B, rb), bool)
+        for i, (b, brs) in enumerate(chunk):
+            seq = b.polished if b.polished is not None else b.candidate
+            n = min(len(seq), cb)
+            cand[i, :n] = seq[:n]
+            clen[i] = n
+            for r, br in enumerate(brs[:rb]):
+                m = min(len(br), sb)
+                branches[i, r, :m] = br[:m]
+                blen[i, r] = m
+                bmask[i, r] = True
+        out_c, out_l, score, iters = polish_bubbles(
+            cand, clen, branches, blen, bmask, subs,
+            max_iters=2 * cb)
+        out_c = np.asarray(out_c)
+        out_l = np.asarray(out_l)
+        for i, (b, _) in enumerate(chunk):
+            b.polished = out_c[i, :out_l[i]].copy()
+
+
+def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
+    """Polish all bubbles in place, with the reference's median-length
+    pre-polish pass for branch-rich bubbles
+    (reference: general_polisher.cpp:37-55)."""
+    subs = get_subs_matrix(platform)
+    phases: List[Tuple[int, List]] = []
+
+    # phase 1: pre-polish rich bubbles with 5 median-length branches
+    rich = [b for b in bubbles if len(b.branches) > 2 * _PRE_POLISH]
+    if rich:
+        items: Dict[Tuple[int, int, int], List] = {}
+        for b in rich:
+            srt = sorted(b.branches, key=len)
+            left = len(srt) // 2 - _PRE_POLISH // 2
+            sel = srt[left:left + _PRE_POLISH]
+            cb, sb = _bucket_for(len(b.candidate),
+                                 max(len(x) for x in sel))
+            items.setdefault((cb, sb, 8), []).append((b, sel))
+        for (cb, sb, rb), lst in sorted(items.items()):
+            _run_bucket(lst, cb, sb, rb, subs)
+
+    # phase 2: all branches
+    items = {}
+    for b in bubbles:
+        if not b.branches:
+            continue
+        seq = b.polished if b.polished is not None else b.candidate
+        cb, sb = _bucket_for(len(seq), max(len(x) for x in b.branches))
+        rb = next((r for r in _R_BUCKETS if len(b.branches) <= r),
+                  _R_BUCKETS[-1])
+        items.setdefault((cb, sb, rb), []).append((b, b.branches))
+    for (cb, sb, rb), lst in sorted(items.items()):
+        _run_bucket(lst, cb, sb, rb, subs)
+
+
+def polish(drafts: Sequence[Tuple[str, np.ndarray]],
+           reads: SequenceStore, platform: str,
+           num_iters: int = 1, k: int = 15, w: int = 5,
+           max_bubble: Optional[int] = None,
+           return_coverage: bool = False):
+    """Iteratively polish draft sequences with reads.
+
+    Returns [(name, polished_codes)] (+ {name: mean_coverage} when
+    return_coverage).
+    """
+    max_bubble = max_bubble or int(PIPELINE["max_bubble_length"])
+    min_aln = int(PIPELINE["min_polish_aln_len"])
+    max_cov = int(PIPELINE["max_read_coverage"])
+    current = [(name, codes) for name, codes in drafts]
+    coverage_stats: Dict[str, float] = {}
+
+    for it in range(num_iters):
+        with stage_timer(f"polishing iteration {it + 1}/{num_iters}"):
+            targets = SequenceStore()
+            for name, codes in current:
+                if len(codes):
+                    targets.add(name, codes)
+            if not len(targets):
+                break
+            mapper = ReadMapper(targets, k=k, w=w, min_aln_length=min_aln)
+            by_target = mapper.map_all(reads)
+
+            all_bubbles: List[Bubble] = []
+            per_target: Dict[int, List[Bubble]] = {}
+            for tid, alns in by_target.items():
+                draft = targets.get(tid)
+                alns = uniform_alignments(alns, len(draft), max_cov)
+                bubbles = make_bubbles(tid, draft, alns, reads,
+                                       max_bubble=max_bubble,
+                                       min_aln_length=min_aln)
+                per_target[tid] = bubbles
+                all_bubbles.extend(bubbles)
+                coverage_stats[targets.name(tid)] = (
+                    sum(a.cur_range for a in alns) / max(1, len(draft)))
+            logger.info("%d bubbles from %d sequences",
+                        len(all_bubbles), len(per_target))
+            polish_bubble_set(all_bubbles, platform)
+
+            new_current = []
+            for name, codes in current:
+                try:
+                    tid = targets.id_by_name(name)
+                except KeyError:
+                    new_current.append((name, codes))
+                    continue
+                bubbles = per_target.get(tid)
+                if bubbles:
+                    new_current.append((name, compose(bubbles)))
+                else:
+                    new_current.append((name, codes))
+            current = new_current
+    if return_coverage:
+        return current, coverage_stats
+    return current

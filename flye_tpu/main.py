@@ -1,0 +1,404 @@
+"""flye_tpu command-line interface and stage pipeline.
+
+Behavioral port of the reference CLI and Job framework
+(reference: flye/main.py): the same read-type flags, output layout
+(00-assembly ... 40-polishing + final assembly files), and job-granular
+resume via params.json (:43-83, :521-576; --resume / --resume-from /
+--stop-after).
+
+Usage:
+    python -m flye_tpu.main --pacbio-raw reads.fasta -o out_dir -g 500k
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import shutil
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from flye_tpu.config import Config, PIPELINE, setup_run_params
+from flye_tpu.io.fasta import write_fasta
+from flye_tpu.io.seqstore import SequenceStore, compute_nx
+from flye_tpu.utils.logs import configure_logging
+
+logger = logging.getLogger("flye_tpu")
+
+READ_TYPE_FLAGS = {
+    # flag -> (platform, read_type)
+    "pacbio_raw": ("pacbio", "raw"),
+    "pacbio_corr": ("pacbio", "corrected"),
+    "pacbio_hifi": ("pacbio", "hifi"),
+    "nano_raw": ("nano", "raw"),
+    "nano_corr": ("nano", "corrected"),
+    "subassemblies": ("pacbio", "subasm"),
+}
+
+
+class PipelineException(Exception):
+    pass
+
+
+class Job:
+    """A resumable pipeline stage (reference: flye/main.py:43-83)."""
+
+    name = "job"
+
+    def __init__(self, ctx: "RunContext"):
+        self.ctx = ctx
+        self.out_files: Dict[str, str] = {}
+
+    def run(self) -> None:
+        raise NotImplementedError
+
+    def completed(self) -> bool:
+        return all(os.path.exists(p) for p in self.out_files.values())
+
+    def save_checkpoint(self) -> None:
+        state = {
+            "stage_name": self.name,
+            "pipeline_version": PIPELINE["pipeline_version"],
+            "min_overlap": self.ctx.min_overlap,
+            "min_read_length": self.ctx.min_read_length,
+        }
+        with open(self.ctx.params_file, "w") as f:
+            json.dump(state, f, indent=1)
+
+
+class RunContext:
+    def __init__(self, args):
+        self.args = args
+        self.out_dir = args.out_dir
+        self.params_file = os.path.join(self.out_dir, "params.json")
+        self.platform, self.read_type = None, None
+        for flag, (platform, rtype) in READ_TYPE_FLAGS.items():
+            if getattr(args, flag, None):
+                self.platform, self.read_type = platform, rtype
+                self.reads_files = getattr(args, flag)
+        self.cfg: Optional[Config] = None
+        self.min_overlap = args.min_overlap or 0
+        self.min_read_length = 0
+        self.reads: Optional[SequenceStore] = None
+        self.genome_size = args.genome_size
+
+    def subdir(self, name: str) -> str:
+        path = os.path.join(self.out_dir, name)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def load_reads(self) -> SequenceStore:
+        if self.reads is None:
+            self.reads = SequenceStore.from_files(self.reads_files)
+            logger.info("Loaded %d reads, %d total bases",
+                        len(self.reads), self.reads.total_length)
+        return self.reads
+
+
+class JobConfigure(Job):
+    name = "configure"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+
+    def run(self):
+        reads = self.ctx.load_reads()
+        params = setup_run_params(
+            [reads.length(i) for i in reads.ids()],
+            self.ctx.read_type,
+            genome_size=self.ctx.genome_size,
+            min_overlap=self.ctx.args.min_overlap,
+            asm_coverage=self.ctx.args.asm_coverage,
+            meta=self.ctx.args.meta)
+        self.ctx.min_overlap = params["min_overlap"]
+        self.ctx.min_read_length = params["min_read_length"]
+        self.ctx.cfg = Config(
+            self.ctx.read_type,
+            extra_params=self.ctx.args.extra_params,
+            min_overlap=self.ctx.min_overlap,
+            uneven_coverage=int(self.ctx.args.meta))
+
+
+class JobAssembly(Job):
+    name = "assembly"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        self.out_files["assembly"] = os.path.join(
+            ctx.subdir("00-assembly"), "draft_assembly.fasta")
+
+    def run(self):
+        from flye_tpu.assemble import assemble_disjointigs
+        reads = self.ctx.load_reads()
+        if self.ctx.min_read_length:
+            filtered = SequenceStore()
+            for sid in reads.ids():
+                if reads.length(sid) >= self.ctx.min_read_length:
+                    filtered.add(reads.name(sid), reads.get(sid))
+            reads = filtered
+        disjointigs = assemble_disjointigs(reads, self.ctx.cfg,
+                                           self.ctx.min_overlap)
+        if not disjointigs:
+            raise PipelineException(
+                "No disjointigs were assembled - please check if the "
+                "read type and genome size parameters are correct")
+        write_fasta(disjointigs, self.out_files["assembly"])
+
+
+class JobConsensus(Job):
+    name = "consensus"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        self.out_files["consensus"] = os.path.join(
+            ctx.subdir("10-consensus"), "consensus.fasta")
+
+    def run(self):
+        from flye_tpu.polishing.polisher import polish
+        reads = self.ctx.load_reads()
+        drafts = SequenceStore.from_file(
+            os.path.join(self.ctx.out_dir, "00-assembly",
+                         "draft_assembly.fasta"))
+        pairs = [(drafts.name(i), drafts.get(i)) for i in drafts.ids()]
+        mb = (self.ctx.cfg.polish_max_bubble
+              if "polish_max_bubble" in self.ctx.cfg else None)
+        consensus = polish(pairs, reads, self.ctx.platform, num_iters=1,
+                           max_bubble=mb)
+        consensus = [(n, s) for n, s in consensus if len(s)]
+        write_fasta(consensus, self.out_files["consensus"])
+
+
+class JobRepeat(Job):
+    name = "repeat"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        d = ctx.subdir("20-repeat")
+        self.out_files["graph"] = os.path.join(d, "repeat_graph_dump")
+        self.out_files["alignment"] = os.path.join(
+            d, "read_alignment_dump")
+
+    def run(self):
+        from flye_tpu.repeat.driver import analyse_repeats
+        reads = self.ctx.load_reads()
+        disjointigs = SequenceStore.from_file(
+            os.path.join(self.ctx.out_dir, "10-consensus",
+                         "consensus.fasta"))
+        graph, aligner, inferer = analyse_repeats(
+            disjointigs, reads, self.ctx.cfg,
+            out_dir=self.ctx.subdir("20-repeat"),
+            min_overlap=self.ctx.min_overlap)
+        self.ctx.repeat_state = (graph, aligner, inferer)
+
+
+class JobContigger(Job):
+    name = "contigger"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        d = ctx.subdir("30-contigger")
+        self.out_files["contigs"] = os.path.join(d, "contigs.fasta")
+        self.out_files["stats"] = os.path.join(d, "contigs_stats.txt")
+        self.out_files["gfa"] = os.path.join(d, "graph_final.gfa")
+
+    def run(self):
+        from flye_tpu.contigger import generate_contigs
+        state = getattr(self.ctx, "repeat_state", None)
+        if state is None:
+            raise PipelineException(
+                "contigger requires the repeat stage in the same run "
+                "(graph reload resume lands with dump-based restart)")
+        graph, aligner, inferer = state
+        contigs, links = generate_contigs(
+            graph, aligner, self.ctx.cfg,
+            out_dir=self.ctx.subdir("30-contigger"))
+        self.ctx.contigs = contigs
+        self.ctx.links = links
+
+
+class JobPolishing(Job):
+    name = "polishing"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        d = ctx.subdir("40-polishing")
+        self.out_files["polished"] = os.path.join(
+            d, "filtered_contigs.fasta")
+        self.out_files["stats"] = os.path.join(d, "polished_stats.txt")
+
+    def run(self):
+        from flye_tpu.polishing.polisher import polish
+        reads = self.ctx.load_reads()
+        contigs_store = SequenceStore.from_file(
+            os.path.join(self.ctx.out_dir, "30-contigger",
+                         "contigs.fasta"))
+        pairs = [(contigs_store.name(i), contigs_store.get(i))
+                 for i in contigs_store.ids()]
+        mb = (self.ctx.cfg.polish_max_bubble
+              if "polish_max_bubble" in self.ctx.cfg else None)
+        polished, coverage = polish(
+            pairs, reads, self.ctx.platform,
+            num_iters=self.ctx.args.iterations,
+            return_coverage=True, max_bubble=mb)
+
+        # final coverage filtering (reference: polish.py:210-261)
+        covs = [coverage.get(n, 0) for n, _ in polished]
+        med = np.median([c for c in covs if c > 0]) if any(covs) else 0
+        min_cov = max(med / PIPELINE["relative_minimum_coverage"],
+                      PIPELINE["hard_minimum_coverage"])
+        kept = [(n, s) for (n, s), c in zip(polished, covs)
+                if len(s) and c >= min_cov]
+        if not kept:  # never drop the whole assembly
+            kept = [(n, s) for n, s in polished if len(s)]
+        write_fasta(kept, self.out_files["polished"])
+        with open(self.out_files["stats"], "w") as f:
+            f.write("#seq_name\tlength\tcoverage\n")
+            for n, s in kept:
+                f.write(f"{n}\t{len(s)}\t{int(coverage.get(n, 0))}\n")
+        # update in-memory contigs with polished sequences
+        by_name = dict(kept)
+        for c in getattr(self.ctx, "contigs", []):
+            if c.name in by_name:
+                c.sequence = by_name[c.name]
+                c.length = len(c.sequence)
+
+
+class JobFinalize(Job):
+    name = "finalize"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        self.out_files["fasta"] = os.path.join(ctx.out_dir,
+                                               "assembly.fasta")
+        self.out_files["info"] = os.path.join(ctx.out_dir,
+                                              "assembly_info.txt")
+
+    def run(self):
+        from flye_tpu.pipeline.scaffolder import (build_scaffolds,
+                                                  write_assembly)
+        contigs = getattr(self.ctx, "contigs", [])
+        links = getattr(self.ctx, "links", [])
+        if not contigs:
+            raise PipelineException("No contigs to finalize")
+        scaffolds = build_scaffolds(contigs, links)
+        write_assembly(contigs, scaffolds, self.out_files["fasta"],
+                       self.out_files["info"])
+        # copy final graph files
+        for src, dst in [("graph_final.gfa", "assembly_graph.gfa"),
+                         ("graph_final.gv", "assembly_graph.gv")]:
+            s = os.path.join(self.ctx.out_dir, "30-contigger", src)
+            if os.path.exists(s):
+                shutil.copy(s, os.path.join(self.ctx.out_dir, dst))
+
+
+def create_job_list(ctx: RunContext) -> List[Job]:
+    jobs: List[Job] = [JobConfigure(ctx), JobAssembly(ctx),
+                       JobConsensus(ctx), JobRepeat(ctx),
+                       JobContigger(ctx), JobPolishing(ctx),
+                       JobFinalize(ctx)]
+    return jobs
+
+
+def run_pipeline(args) -> int:
+    ctx = RunContext(args)
+    jobs = create_job_list(ctx)
+
+    start_from = 0
+    if args.resume or args.resume_from:
+        if not os.path.exists(ctx.params_file):
+            raise PipelineException("Can't resume: no params.json found")
+        with open(ctx.params_file) as f:
+            state = json.load(f)
+        if state.get("pipeline_version") != PIPELINE["pipeline_version"]:
+            raise PipelineException(
+                "Can't resume: pipeline version mismatch")
+        ctx.min_overlap = state.get("min_overlap", 0)
+        ctx.min_read_length = state.get("min_read_length", 0)
+        target = args.resume_from or state.get("stage_name")
+        names = [j.name for j in jobs]
+        if target not in names:
+            raise PipelineException(f"Unknown stage: {target}")
+        start_from = names.index(target)
+        # stages before the resume point must be complete
+        for j in jobs[:start_from]:
+            if not j.completed():
+                raise PipelineException(
+                    f"Can't resume: stage '{j.name}' outputs missing")
+        # configure must re-run to rebuild the in-memory config
+        if start_from > 0:
+            jobs[0].run()
+
+    for i, job in enumerate(jobs):
+        if i < start_from:
+            continue
+        job.save_checkpoint()
+        logger.info(">>> STAGE: %s", job.name)
+        job.run()
+        if args.stop_after == job.name:
+            logger.info("Stopped after stage '%s'", job.name)
+            return 0
+    logger.info("Final assembly: %s",
+                os.path.join(ctx.out_dir, "assembly.fasta"))
+    return 0
+
+
+def parse_genome_size(text: Optional[str]) -> Optional[int]:
+    if not text:
+        return None
+    text = text.strip().lower()
+    mult = 1
+    if text[-1] in "kmg":
+        mult = {"k": 10 ** 3, "m": 10 ** 6, "g": 10 ** 9}[text[-1]]
+        text = text[:-1]
+    return int(float(text) * mult)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="flye_tpu",
+        description="TPU-native de novo assembler for long noisy reads")
+    read_group = parser.add_mutually_exclusive_group(required=True)
+    for flag in READ_TYPE_FLAGS:
+        read_group.add_argument(f"--{flag.replace('_', '-')}", nargs="+",
+                                metavar="reads", dest=flag)
+    parser.add_argument("-o", "--out-dir", required=True)
+    parser.add_argument("-g", "--genome-size", type=parse_genome_size,
+                        default=None)
+    parser.add_argument("-t", "--threads", type=int, default=1,
+                        help="host threads (device parallelism is "
+                        "managed by the mesh)")
+    parser.add_argument("-i", "--iterations", type=int, default=1,
+                        help="number of polishing iterations")
+    parser.add_argument("-m", "--min-overlap", type=int, default=None)
+    parser.add_argument("--asm-coverage", type=int, default=None)
+    parser.add_argument("--meta", action="store_true")
+    parser.add_argument("--keep-haplotypes", action="store_true")
+    parser.add_argument("--extra-params", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume-from", default=None)
+    parser.add_argument("--stop-after", default=None)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("-v", "--version", action="version",
+                        version="flye_tpu 0.1.0")
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    configure_logging(os.path.join(args.out_dir, "flye.log"),
+                      debug=args.debug)
+    try:
+        return run_pipeline(args)
+    except PipelineException as e:
+        logger.error("%s", e)
+        logger.error("Pipeline aborted")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

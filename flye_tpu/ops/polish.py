@@ -6,27 +6,32 @@ src/polishing/alignment.cpp:17-190) redesigned for TPU:
 
 The reference scores one candidate edit at a time with an O(row) loop
 over cached forward/reverse DP matrices, per thread, per bubble.  Here
-thousands of bubbles run in lockstep: one lax.scan computes the full
-forward and suffix score tensors F, B [C+1, batch, R, S+1] (the row
-recurrence's in-row dependency resolved by an associative prefix-max),
-and then EVERY deletion / insertion / substitution at every position
-scores simultaneously as dense tensor algebra:
+thousands of bubbles run in lockstep: two lax.scans compute the full
+prefix (F) and suffix (B) score tensors [C+1, batch, R, S+1] — the
+suffix matrix directly via a reverse-order scan, so no per-lane tensor
+flips — and then EVERY deletion / insertion / substitution at every
+position scores simultaneously as dense tensor algebra:
 
-    del(p)    = max_j F[p]   + B[p+1]
+    del(p)    = max_j F[p]    + B[p+1]
     ins(p, x) = max_j SUBx[p] + B[p]
     sub(p, x) = max_j SUBx[p] + B[p+1]
     SUBx[p][j] = max(F[p][j-1] + M[x, w_j], F[p][j] + M[x, '-'])
 
-Edit precedence (all deletions, then insertions, then substitutions,
-earliest position on ties) matches the reference exactly; one edit is
-applied per lane per outer iteration inside a while_loop with per-lane
-convergence, like the reference's per-bubble loop.
+TPU performance notes: substitution-matrix lookups are one-hot
+contractions (gathers are slow on TPU); all branch-dependent tables are
+hoisted out of the convergence loop; the in-row DP dependency resolves
+via associative prefix/suffix-max scans.
+
+Edits in different parity-active blocks (>= block_size apart, NW deltas
+effectively independent) apply simultaneously, converging in
+~2x(max edits per block) iterations; block precedence follows the
+reference (del > ins > sub, earliest position on ties). block_size=0
+restores the strictly serial reference semantics.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,139 +39,142 @@ import jax.numpy as jnp
 NEG = jnp.float32(-1e30)
 
 
-def _gather_subs(subs, a, b):
-    """subs[a, b] with integer arrays a, b (broadcastable)."""
-    return subs.reshape(-1)[a * 5 + b]
-
-
-def _forward_matrix(cand, cand_len, branches, blen, subs):
-    """F[i, lane, r, j] = best score of cand[:i] vs branch[:j].
-
-    cand: [B, C] uint8; branches: [B, R, S] uint8. Returns
-    [C+1, B, R, S+1] float32. Rows beyond cand_len are garbage (never
-    gathered); columns beyond blen never corrupt valid columns because
-    the prefix-max only flows left to right.
-    """
-    Bb, C = cand.shape
-    _, R, S = branches.shape
-    w = branches.astype(jnp.int32)
-    # per-branch tables, fixed across rows
-    gap_b = _gather_subs(subs, jnp.int32(4), w)            # [B, R, S]
-    jvalid = (jax.lax.broadcasted_iota(jnp.int32, (Bb, R, S), 2)
-              < blen[:, :, None])
-    gp = jnp.cumsum(jnp.where(jvalid, gap_b, 0.0), axis=2)
-    gp = jnp.concatenate([jnp.zeros((Bb, R, 1), jnp.float32), gp], axis=2)
-    # match cost for each possible candidate char x: [4, B, R, S]
-    sw = jnp.stack([_gather_subs(subs, jnp.int32(x), w) for x in range(4)])
-
-    row0 = gp                                               # [B, R, S+1]
-    cchars = cand.astype(jnp.int32)
-
-    # the per-row candidate char selects its match-cost plane from sw via
-    # a one-hot contraction (cheap: 4-wide)
-    def step(prev, i):
-        v = cchars[:, i]                                    # [B]
-        vgap = _gather_subs(subs, v, jnp.int32(4))[:, None, None]
-        onehot = jax.nn.one_hot(v, 4, dtype=jnp.float32)    # [B, 4]
-        match = jnp.einsum("bx,xbrs->brs", onehot, sw)      # [B, R, S]
-        tmp_head = prev[:, :, :1] + vgap
-        tmp_tail = jnp.maximum(prev[:, :, :-1] + match,
-                               prev[:, :, 1:] + vgap)
-        tmp = jnp.concatenate([tmp_head, tmp_tail], axis=2)
-        # row[j] = max(tmp[j], row[j-1] + gap_b[j]) -> prefix max of
-        # (tmp - gp) plus gp
-        row = jax.lax.associative_scan(jnp.maximum, tmp - gp, axis=2) + gp
-        return row, row
-
-    _, rows = jax.lax.scan(step, row0, jnp.arange(C, dtype=jnp.int32))
-    return jnp.concatenate([row0[None], rows], axis=0)      # [C+1, B, R, S+1]
-
-
-def _reverse_seqs(seqs, lens):
-    """Reverse the valid prefix of each row: out[t] = seq[len-1-t]."""
-    idx = lens[..., None] - 1 - jax.lax.broadcasted_iota(
-        jnp.int32, seqs.shape, seqs.ndim - 1)
-    return jnp.take_along_axis(seqs, jnp.clip(idx, 0), axis=-1)
-
-
-def _suffix_matrix(rev_f, cand_len, blen):
-    """B[i][j] = revF[clen - i][blen - j] (suffix alignment scores)."""
-    Cp1, Bb, R, Sp1 = rev_f.shape
-    rows = jnp.clip(cand_len[None, :] -
-                    jnp.arange(Cp1, dtype=jnp.int32)[:, None], 0)
-    bmat = jnp.take_along_axis(rev_f, rows[:, :, None, None], axis=0)
-    cols = jnp.clip(blen[None, :, :, None] -
-                    jnp.arange(Sp1, dtype=jnp.int32)[None, None, None, :], 0)
-    return jnp.take_along_axis(bmat, cols, axis=3)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("max_iters", "block_size"))
-def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
-                   max_iters: int, block_size: int = 64):
-    """Hill-climb every bubble to convergence.
-
-    Args:
-      cand: [B, Cb] uint8 candidate codes (Cb leaves growth headroom).
-      cand_len: [B] int32.
-      branches: [B, R, S] uint8; blen [B, R] int32; bmask [B, R] bool.
-      subs: [5, 5] float32 log-prob matrix.
-      max_iters: static outer-iteration cap.
-      block_size: edits in different parity-active blocks of this many
-        positions apply simultaneously (they are >= block_size apart, so
-        their NW score deltas are effectively independent). Pass 0 for
-        the reference's strictly serial one-edit-per-iteration semantics.
-
-    Returns (cand [B, Cb], cand_len [B], score [B], iters [B]).
-    """
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _polish_step(cand, cand_len, done, streak, it_count,
+                 branches, blen, bmask, subs, block_size: int = 64):
+    """One hill-climbing step over the whole batch (jitted; the
+    convergence loop is driven from the host — a lax.while_loop
+    formulation miscompiled the loop-carried suffix scan on this
+    JAX version, and host stepping also gives early exit)."""
     Bb, Cb = cand.shape
     _, R, S = branches.shape
     subs = subs.astype(jnp.float32)
     bmaskf = bmask.astype(jnp.float32)
-    jpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S + 1), 3)
-    jmask = jnp.where(jpos <= blen[None, :, :, None], 0.0, NEG)
-    ppos_c = jnp.arange(Cb, dtype=jnp.int32)                # edit positions
-    ppos_c1 = jnp.arange(Cb + 1, dtype=jnp.int32)
     G = block_size if block_size > 0 else Cb + 1
     nb = -(-(Cb + 1) // G)
     blk_ids = jnp.arange(nb, dtype=jnp.int32)
     streak_needed = 1 if nb == 1 else 2
 
-    def masked_reduce(x, bmat_shifted):
+    # ---- static per-branch tables (hoisted out of the loop) ----
+    b1h = jax.nn.one_hot(branches.astype(jnp.int32), 4,
+                         dtype=jnp.float32)                 # [B,R,S,4]
+    sw = jnp.einsum("brsx,yx->ybrs", b1h, subs[:4, :4])     # [4,B,R,S]
+    gap_b = jnp.einsum("brsx,x->brs", b1h, subs[4, :4])     # [B,R,S]
+    jpos_s = jax.lax.broadcasted_iota(jnp.int32, (Bb, R, S), 2)
+    jvalid = jpos_s < blen[:, :, None]
+    gap_bm = jnp.where(jvalid, gap_b, 0.0)
+    # gp[j] = cost of inserting branch[0:j] (prefix), [B,R,S+1]
+    gp = jnp.concatenate(
+        [jnp.zeros((Bb, R, 1), jnp.float32),
+         jnp.cumsum(gap_bm, axis=2)], axis=2)
+    # sg[j] = cost of inserting branch[j:blen] (suffix)
+    sg = gp[:, :, -1:] - gp
+    jpos1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S + 1), 3)
+    jmask = jnp.where(jpos1 <= blen[None, :, :, None], 0.0, NEG)
+    ppos_c = jnp.arange(Cb, dtype=jnp.int32)
+    ppos_c1 = jnp.arange(Cb + 1, dtype=jnp.int32)
+    ivec_bc = jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb), 1)
+
+    def masked_reduce(x, b_shifted):
         """max over j then masked sum over branches: x [C*, B, R, S+1]."""
-        s = jnp.max(x + bmat_shifted + jmask, axis=3)       # [C*, B, R]
+        s = jnp.max(x + b_shifted + jmask, axis=3)          # [C*, B, R]
         return jnp.sum(s * bmaskf[None], axis=2)            # [C*, B]
 
-    def body(state):
-        cand, cand_len, done, streak, iters, it_count, _ = state
-        F = _forward_matrix(cand, cand_len, branches, blen, subs)
-        rev_c = _reverse_seqs(cand, cand_len)
-        rev_b = _reverse_seqs(branches, blen)
-        revF = _forward_matrix(rev_c, cand_len, rev_b, blen, subs)
-        Bm = _suffix_matrix(revF, cand_len, blen)
+    def forward_rows(match_cols, vgap_cols):
+        """F[i] rows via forward scan. match_cols [Cb,B,R,S],
+        vgap_cols [Cb,B]. Returns [Cb+1,B,R,S+1]."""
+        row0 = gp
 
-        # current total score: F[clen][blen]
-        f_at_len = jnp.take_along_axis(
-            F, cand_len[None, :, None, None], axis=0)[0]    # [B, R, S+1]
-        cur = jnp.take_along_axis(f_at_len, blen[:, :, None], axis=2)[:, :, 0]
-        total = jnp.sum(cur * bmaskf, axis=1)               # [B]
+        def step(prev, xs):
+            match, vg = xs                                   # [B,R,S], [B]
+            vgap = vg[:, None, None]
+            tmp = jnp.concatenate(
+                [prev[:, :, :1] + vgap,
+                 jnp.maximum(prev[:, :, :-1] + match,
+                             prev[:, :, 1:] + vgap)], axis=2)
+            # row[j] = max(tmp[j], row[j-1] + gap_b[j]):
+            # prefix-max of (tmp - gp) plus gp
+            row = jax.lax.associative_scan(
+                jnp.maximum, tmp - gp, axis=2) + gp
+            return row, row
 
-        pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :], 0.0, NEG)
-        pvalid_ins = jnp.where(
-            ppos_c1[:, None] <= cand_len[None, :], 0.0, NEG)
+        _, rows = jax.lax.scan(step, row0, (match_cols, vgap_cols))
+        return jnp.concatenate([row0[None], rows], axis=0)
 
-        # deletions: per-position scores
+    def backward_rows(match_cols, vgap_cols, ds_cols, row_idx):
+        """B[i][j] = best score of cand[i:clen] vs branch[j:blen], via a
+        reverse scan — no per-lane flips. ds_cols [Cb,B] = candidate
+        suffix deletion cost per row; row_idx [Cb] row numbers.
+        Returns [Cb+1,B,R,S+1]."""
+        # base row at i >= clen: insert the whole branch suffix
+        # (sg[j>=blen] is already 0 because padded gap costs are masked)
+        base_row = sg
+
+        def step(nxt, xs):
+            match, vg, dsi, i = xs
+            vgap = vg[:, None, None]
+            # tmp[j] = max(B[i+1][j+1] + M(v,w_j), B[i+1][j] + M(v,'-'))
+            diag = jnp.where(jpos_s < blen[:, :, None],
+                             nxt[:, :, 1:] + match, NEG)
+            tmp = jnp.concatenate(
+                [jnp.maximum(diag, nxt[:, :, :-1] + vgap),
+                 nxt[:, :, -1:] + vgap], axis=2)
+            tmp = jnp.where(jpos1[0] <= blen[:, :, None], tmp, NEG)
+            # row[j] = max(tmp[j], row[j+1] + gap_b[j]):
+            # row = sg + suffix-max(tmp - sg)
+            row = jax.lax.associative_scan(
+                jnp.maximum, tmp - sg, axis=2, reverse=True) + sg
+            # lanes where this row is out of range keep the base row;
+            # columns beyond blen carry the cand-suffix deletion cost
+            in_range = (i < cand_len)[:, None, None]
+            row = jnp.where(in_range, row, base_row)
+            row = jnp.where(jpos1[0] <= blen[:, :, None], row,
+                            dsi[:, None, None])
+            return row, row
+
+        _, rows = jax.lax.scan(
+            step, base_row,
+            (match_cols, vgap_cols, ds_cols, row_idx), reverse=True)
+        # rows[i] = B[i] for i in 0..Cb-1; append B[Cb] = base
+        return jnp.concatenate([rows, base_row[None]], axis=0)
+
+    def body(cand, cand_len, done, streak, it_count):
+        c1h = jax.nn.one_hot(cand.astype(jnp.int32), 4,
+                             dtype=jnp.float32)              # [B,Cb,4]
+        vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])  # [B,Cb]
+        live_c = ivec_bc < cand_len[:, None]
+        vgap_m = jnp.where(live_c, vgap_all, 0.0)
+        # ds[i] = cost of deleting cand[i:clen], [B, Cb+1]
+        csum = jnp.cumsum(vgap_m, axis=1)
+        ds = jnp.concatenate(
+            [jnp.zeros((Bb, 1), jnp.float32), csum], axis=1)
+        ds = csum[:, -1:] - ds
+
+        # all match-cost planes in one contraction (per-step einsums in
+        # the scan body were the TPU bottleneck)
+        match_cols = jnp.einsum("bcx,xbrs->cbrs", c1h, sw)   # [Cb,B,R,S]
+        vgap_cols = vgap_m.T                                 # [Cb,B]
+        F = forward_rows(match_cols, vgap_cols)
+        Bm = backward_rows(match_cols, vgap_cols, ds[:, :Cb].T,
+                           jnp.arange(Cb, dtype=jnp.int32))
+
+        # current total score = B[0][0]
+        total = jnp.sum(Bm[0, :, :, 0] * bmaskf, axis=1)     # [B]
+
+        pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :],
+                               0.0, NEG)
+        pvalid_ins = jnp.where(ppos_c1[:, None] <= cand_len[None, :],
+                               0.0, NEG)
+
         del_sc = masked_reduce(F[:-1], Bm[1:]) + pvalid_del  # [Cb, B]
 
-        # per-letter SUBx tensors -> per-position best ins/sub + letter
-        w = branches.astype(jnp.int32)
         ins_sc = jnp.full((Cb + 1, Bb), NEG)
         ins_chr = jnp.zeros((Cb + 1, Bb), jnp.int32)
         sub_sc = jnp.full((Cb, Bb), NEG)
         sub_chr = jnp.zeros((Cb, Bb), jnp.int32)
-        cand_i = cand.astype(jnp.int32)
+        cand_t = cand.astype(jnp.int32).T                    # [Cb, B]
         for x in range(4):
-            mx = _gather_subs(subs, jnp.int32(x), w)        # [B, R, S]
+            mx = sw[x]                                       # [B,R,S]
             xgap = subs[x, 4]
             subx = jnp.concatenate(
                 [F[:, :, :, :1] + xgap,
@@ -178,13 +186,12 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
             ins_chr = jnp.where(better, x, ins_chr)
 
             sub_x = masked_reduce(subx[:-1], Bm[1:]) + pvalid_del
-            sub_x = sub_x + jnp.where(cand_i.T == x, NEG, 0.0)  # same letter
+            sub_x = sub_x + jnp.where(cand_t == x, NEG, 0.0)
             better = sub_x > sub_sc
             sub_sc = jnp.where(better, sub_x, sub_sc)
             sub_chr = jnp.where(better, x, sub_chr)
 
-        # ---- block-parallel edit selection (precedence del > ins > sub
-        # per block, earliest position on ties) ----
+        # ---- block-parallel edit selection ----
         def to_blocks(arr, rows):
             pad = nb * G - rows
             a = jnp.concatenate([arr, jnp.full((pad, Bb), NEG)], axis=0)
@@ -208,8 +215,6 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
         choose_ins = live & ~choose_del & (insb_best > thr)
         choose_sub = live & ~choose_del & ~choose_ins & (subb_best > thr)
 
-        # buffer-overflow guard: drop a lane's insertions if they would
-        # exceed the candidate buffer
         n_del = jnp.sum(choose_del, axis=0).astype(jnp.int32)
         n_ins = jnp.sum(choose_ins, axis=0).astype(jnp.int32)
         overflow = cand_len + n_ins - n_del > Cb
@@ -220,8 +225,7 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
         new_streak = jnp.where(any_edit, 0, streak + 1)
         new_done = done | (new_streak >= streak_needed)
 
-        # ---- scatter chosen edits to per-position masks (block
-        # positions are disjoint, so no scatter collisions) ----
+        # ---- scatter chosen edits to per-position masks ----
         lane = jnp.arange(Bb)[None, :].repeat(nb, 0)         # [nb, B]
         is_del = jnp.zeros((Bb, Cb), bool).at[
             lane, jnp.where(choose_del, delb_pos, Cb)].max(
@@ -234,7 +238,8 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
             choose_sub, mode="drop")
         ins_char_at = jnp.zeros((Bb, Cb + 1), jnp.int32).at[
             lane, jnp.where(choose_ins, insb_pos, Cb + 1)].max(
-            jnp.take_along_axis(ins_chr, jnp.clip(insb_pos, 0, Cb), axis=0),
+            jnp.take_along_axis(ins_chr, jnp.clip(insb_pos, 0, Cb),
+                                axis=0),
             mode="drop")
         sub_char_at = jnp.zeros((Bb, Cb), jnp.int32).at[
             lane, jnp.where(choose_sub, subb_pos, Cb)].max(
@@ -242,39 +247,90 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
                                 axis=0),
             mode="drop")
 
-        # ---- apply all edits at once via index remapping ----
-        cand_subbed = jnp.where(is_sub, sub_char_at.astype(jnp.uint8), cand)
-        dels_cum = jnp.cumsum(is_del.astype(jnp.int32), axis=1)   # dels <= i
-        dels_excl = dels_cum - is_del.astype(jnp.int32)           # dels < i
-        ins_cum = jnp.cumsum(is_ins.astype(jnp.int32), axis=1)    # ins <= i
-        ivec = jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb), 1)
-        new_idx_old = ivec - dels_excl + ins_cum[:, :Cb]
-        keep = (~is_del) & (ivec < cand_len[:, None])
-        out = jnp.zeros((Bb, Cb), jnp.uint8).at[
-            jnp.arange(Bb)[:, None],
-            jnp.where(keep, new_idx_old, Cb)].set(
-            cand_subbed, mode="drop")
-        # inserted chars: new index = p - dels(<p) + ins(<=p) - 1
-        ivec1 = jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb + 1), 1)
+        # ---- apply all edits at once, scatter-free ----
+        # TPU scatters serialize per element, so the rebuild uses
+        # bounded shifted-copy selects instead: each position moves by
+        # at most nb slots (one ins/del per active block), so the new
+        # candidate is a select over 2*nb+1 rolled copies.
+        cand_subbed = jnp.where(is_sub, sub_char_at.astype(jnp.uint8),
+                                cand)
+        dels_cum = jnp.cumsum(is_del.astype(jnp.int32), axis=1)
+        dels_excl = dels_cum - is_del.astype(jnp.int32)
+        ins_cum = jnp.cumsum(is_ins.astype(jnp.int32), axis=1)
+        W = Cb + 1
+        ivec1 = jax.lax.broadcasted_iota(jnp.int32, (Bb, W), 1)
+        # old chars: position i moves to i + shift_old[i]
+        shift_old = ins_cum[:, :Cb] - dels_excl
+        keep = (~is_del) & live_c
+        # inserted chars: char at insert-slot p lands at p + shift_ins[p]
         dels_before = jnp.concatenate(
-            [jnp.zeros((Bb, 1), jnp.int32), dels_cum], axis=1)[:, :Cb + 1]
-        new_idx_ins = ivec1 - dels_before + ins_cum - 1
-        out = out.at[
-            jnp.arange(Bb)[:, None],
-            jnp.where(is_ins, new_idx_ins, Cb)].set(
-            ins_char_at.astype(jnp.uint8), mode="drop")
+            [jnp.zeros((Bb, 1), jnp.int32), dels_cum], axis=1)[:, :W]
+        shift_ins = ins_cum - dels_before - 1
+
+        def pad_w(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((Bb, W - a.shape[1]), fill, a.dtype)], axis=1)
+
+        cs_pad = pad_w(cand_subbed, jnp.uint8(0))
+        keep_pad = pad_w(keep, False)
+        shift_old_pad = pad_w(shift_old, jnp.int32(0))
+        out = jnp.zeros((Bb, W), jnp.uint8)
+        smax = min(nb, W - 1)
+        for s in range(-smax, smax + 1):
+            m_old = keep_pad & (shift_old_pad == s)
+            m_ins = is_ins & (shift_ins == s)
+            if s == 0:
+                out = jnp.where(m_old, cs_pad, out)
+                out = jnp.where(m_ins, ins_char_at.astype(jnp.uint8), out)
+                continue
+            dst_ok = (ivec1 >= s) if s > 0 else (ivec1 < W + s)
+            out = jnp.where(
+                jnp.roll(m_old, s, axis=1) & dst_ok,
+                jnp.roll(cs_pad, s, axis=1), out)
+            out = jnp.where(
+                jnp.roll(m_ins, s, axis=1) & dst_ok,
+                jnp.roll(ins_char_at, s, axis=1).astype(jnp.uint8), out)
+        out = out[:, :Cb]
         new_len = cand_len + n_ins - n_del
 
-        return (out, new_len, new_done, new_streak,
-                iters + (~new_done).astype(jnp.int32), it_count + 1, total)
+        return out, new_len, new_done, new_streak, total
 
-    def cond(state):
-        _, _, done, _, iters, _, _ = state
-        return (~done.all()) & (iters.max() < max_iters)
+    return body(cand, cand_len, done, streak, it_count)
 
-    state0 = (cand, cand_len, jnp.zeros((Bb,), bool),
-              jnp.zeros((Bb,), jnp.int32), jnp.zeros((Bb,), jnp.int32),
-              jnp.int32(0), jnp.zeros((Bb,), jnp.float32))
-    cand, cand_len, done, streak, iters, it_count, score = \
-        jax.lax.while_loop(cond, body, state0)
-    return cand, cand_len, score, iters
+
+def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
+                   max_iters: int, block_size: int = 64):
+    """Hill-climb every bubble to convergence.
+
+    Args:
+      cand: [B, Cb] uint8 candidate codes (Cb leaves growth headroom).
+      cand_len: [B] int32.
+      branches: [B, R, S] uint8; blen [B, R] int32; bmask [B, R] bool.
+      subs: [5, 5] float32 log-prob matrix.
+      max_iters: outer-iteration cap.
+      block_size: parallel-edit block width (0 = serial reference mode).
+
+    Returns (cand [B, Cb], cand_len [B], score [B], iters [B]).
+    """
+    import numpy as np
+
+    Bb = cand.shape[0]
+    done = jnp.zeros((Bb,), bool)
+    streak = jnp.zeros((Bb,), jnp.int32)
+    iters = np.zeros(Bb, np.int64)
+    score = jnp.zeros((Bb,), jnp.float32)
+    cand = jnp.asarray(cand)
+    cand_len = jnp.asarray(cand_len, jnp.int32)
+    branches = jnp.asarray(branches)
+    blen = jnp.asarray(blen, jnp.int32)
+    bmask = jnp.asarray(bmask)
+    subs = jnp.asarray(subs, jnp.float32)
+    for it in range(max_iters):
+        cand, cand_len, done, streak, score = _polish_step(
+            cand, cand_len, done, streak, jnp.int32(it),
+            branches, blen, bmask, subs, block_size=block_size)
+        done_h = np.asarray(done)
+        iters += ~done_h
+        if done_h.all():
+            break
+    return cand, cand_len, score, jnp.asarray(iters.astype(np.int32))

@@ -1,0 +1,192 @@
+"""Edge coverage estimation and coverage-driven simplification.
+
+Behavioral port of MultiplicityInferer essentials
+(reference: src/repeat_graph/multiplicity_inferer.cpp): window-based
+coverage from read-graph alignments (:14-90), the unique-coverage
+threshold (repeat_edge_cov_mult x Q75), unsupported-edge removal (:188)
+and the tip-trimming loop (:524 trimTipsIteration).
+
+Not yet ported (tracked for the next round): splitNodes,
+disconnectMinorPaths, resolveForks — they refine metagenome-grade graphs
+and are no-ops on clean isolates.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List
+
+import numpy as np
+
+from flye_tpu.repeat.graph import GraphEdge, RepeatGraph
+from flye_tpu.repeat.processing import get_unbranching_paths
+
+logger = logging.getLogger("flye_tpu")
+
+
+class MultiplicityInferer:
+    def __init__(self, graph: RepeatGraph, aligner, cfg):
+        self.graph = graph
+        self.aligner = aligner
+        self.cfg = cfg
+        self.mean_coverage = 1
+        self.unique_cov_threshold = 2.0
+
+    def estimate_coverage(self) -> None:
+        """(reference: multiplicity_inferer.cpp:14-90)."""
+        window = self.cfg.coverage_estimate_window
+        wnd_cov: Dict[int, np.ndarray] = {}
+        for edge in self.graph.iter_edges():
+            n = edge.length() // window
+            wnd_cov[edge.edge_id] = np.zeros(max(0, n), dtype=np.int64)
+
+        for chain in self.aligner.alignments:
+            for i, aln in enumerate(chain):
+                cov = wnd_cov.get(aln.edge.edge_id)
+                if cov is None or len(cov) == 0:
+                    continue
+                lo = max(0, aln.overlap.ext_begin // window + 1)
+                hi = min(len(cov), aln.overlap.ext_end // window)
+                if i > 0:
+                    lo = 0
+                if i < len(chain) - 1:
+                    hi = len(cov)
+                if hi > lo:
+                    cov[lo:hi] += 1
+
+        all_cov = np.concatenate(
+            [c for c in wnd_cov.values() if len(c)]) if wnd_cov else \
+            np.zeros(0)
+        self.mean_coverage = (int(all_cov.sum() / len(all_cov))
+                              if len(all_cov) else 1)
+        logger.info("Mean edge coverage: %d", self.mean_coverage)
+
+        unique_covs = []
+        for edge in self.graph.iter_edges():
+            cov = wnd_cov[edge.edge_id]
+            if len(cov) == 0:
+                continue
+            comp = self.graph.complement_edge(edge)
+            ccov = wnd_cov.get(comp.edge_id, np.zeros(0))
+            med = int(np.median(cov))
+            cmed = int(np.median(ccov)) if len(ccov) else med
+            median_cov = (med + cmed) // 2
+            edge.mean_coverage = median_cov
+            est_mult = round(median_cov / max(1, self.mean_coverage))
+            if est_mult == 1:
+                unique_covs.append(median_cov)
+            logger.debug("edge %r len:%d cov:%d mult:%.2f", edge,
+                         edge.length(), median_cov,
+                         median_cov / max(1, self.mean_coverage))
+
+        if unique_covs:
+            mult = self.cfg.repeat_edge_cov_mult
+            self.unique_cov_threshold = mult * float(
+                np.percentile(unique_covs, 75))
+        logger.debug("Unique coverage threshold %.1f",
+                     self.unique_cov_threshold)
+
+    # ------------------------------------------------------------------
+
+    def remove_unsupported_edges(self) -> int:
+        """Drop edges with coverage below mean / graph_cov_drop_rate
+        (reference: multiplicity_inferer.cpp:188)."""
+        threshold = self.mean_coverage / self.cfg.graph_cov_drop_rate
+        removed = 0
+        for edge in list(self.graph.iter_edges()):
+            if edge.edge_id not in self.graph.edges:
+                continue
+            if edge.mean_coverage < threshold:
+                comp = self.graph.complement_edge(edge)
+                self.graph.remove_edge(edge)
+                if comp is not edge and comp.edge_id in self.graph.edges:
+                    self.graph.remove_edge(comp)
+                removed += 1
+        if removed:
+            logger.debug("Removed %d unsupported edges", removed)
+        return removed
+
+    def trim_tips(self) -> int:
+        """Iterate tip clipping to a fixpoint
+        (reference: multiplicity_inferer.h:34-51)."""
+        total = 0
+        while True:
+            n_short, n_long = self._trim_tips_iteration()
+            total += n_short + n_long
+            logger.debug("Clipped %d short and %d long tips",
+                         n_short, n_long)
+            if n_short + n_long == 0:
+                break
+        return total
+
+    def _trim_tips_iteration(self):
+        """(reference: multiplicity_inferer.cpp:524-630)."""
+        short_tip = self.cfg.short_tip_length
+        long_tip = self.cfg.long_tip_length
+        cov_rate = self.cfg.tip_coverage_rate
+        len_rate = self.cfg.tip_length_rate
+
+        paths = get_unbranching_paths(self.graph)
+        ub_index: Dict[int, object] = {}
+        for p in paths:
+            for e in p.path:
+                ub_index[e.edge_id] = p
+
+        to_remove = set()
+        n_short = n_long = 0
+        for tip in paths:
+            last = tip.path[-1]
+            n_in, n_out = last.node_right.degree()
+            is_right_terminal = (n_out == 0)
+            if not is_right_terminal:
+                continue
+            if len(tip.node_left().out_edges) == 1:
+                continue  # already detached
+            if tip.path[0].self_complement:
+                continue
+            if tip.length < short_tip:
+                to_remove.add(tip.id)
+                n_short += 1
+                continue
+            if tip.length > long_tip:
+                continue
+            node = tip.node_left()
+            entrances = []
+            for e in node.in_edges:
+                p = ub_index[e.edge_id]
+                if p.path[-1] is e and (
+                        p.length > len_rate * tip.length or
+                        len(p.node_left().in_edges) > 0):
+                    entrances.append(p)
+            exits = []
+            for e in node.out_edges:
+                p = ub_index[e.edge_id]
+                if p.path[0] is e and p is not tip and (
+                        p.length > len_rate * tip.length or
+                        len(p.node_right().out_edges) > 0):
+                    exits.append(p)
+            if len(entrances) != 1 or len(exits) != 1:
+                continue
+            true_cov = max(entrances[0].mean_coverage,
+                           exits[0].mean_coverage)
+            true_len = max(entrances[0].length, exits[0].length)
+            if (true_cov > cov_rate * tip.mean_coverage or
+                    true_len > len_rate * tip.length):
+                to_remove.add(tip.id)
+                n_long += 1
+
+        for p in paths:
+            if p.id not in to_remove:
+                continue
+            target = p.path[0]
+            comp = self.graph.complement_edge(target)
+            # detach the tip into its own fresh node (not deleted — it
+            # may carry real sequence)
+            target.node_left.out_edges.remove(target)
+            target.node_left = self.graph.add_node()
+            target.node_left.out_edges.append(target)
+            if comp is not target:
+                comp.node_right.in_edges.remove(comp)
+                comp.node_right = self.graph.add_node()
+                comp.node_right.in_edges.append(comp)
+        return n_short, n_long

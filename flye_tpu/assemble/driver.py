@@ -87,6 +87,8 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         max_inner_fraction=cfg.max_inner_fraction,
         add_unassembled_reads=bool(cfg.add_unassembled_reads))
 
+    with stage_timer("overlap prefetch"):
+        ovlp_store.prefetch(store.ids(), progress_every=1000)
     with stage_timer("disjointig extension"):
         extender.assemble_disjointigs()
 

@@ -78,6 +78,19 @@ def read_seq_file(path: str) -> List[Tuple[str, np.ndarray]]:
         data = f.read()
     if not data:
         return []
+    # native single-pass parser when the C++ helpers are available
+    from flye_tpu import native
+    mod = native.get()
+    if mod is not None:
+        try:
+            codes_b, offs_b, names = mod.pack_sequences(data,
+                                                        int(is_fastq))
+            arena = np.frombuffer(codes_b, dtype=np.uint8)
+            offsets = np.frombuffer(offs_b, dtype=np.int64)
+            return [(names[i], arena[offsets[i]:offsets[i + 1]])
+                    for i in range(len(names))]
+        except ValueError:
+            raise ValueError(f"malformed FASTQ in {path}")
     out: List[Tuple[str, np.ndarray]] = []
     if is_fastq:
         lines = data.split(b"\n")

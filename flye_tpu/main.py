@@ -120,7 +120,8 @@ class JobConfigure(Job):
             self.ctx.read_type,
             extra_params=self.ctx.args.extra_params,
             min_overlap=self.ctx.min_overlap,
-            uneven_coverage=int(self.ctx.args.meta))
+            uneven_coverage=int(self.ctx.args.meta),
+            keep_haplotypes=int(self.ctx.args.keep_haplotypes))
 
 
 class JobAssembly(Job):
@@ -195,6 +196,24 @@ class JobRepeat(Job):
         self.ctx.repeat_state = (graph, aligner, inferer)
 
 
+class JobTrestle(Job):
+    name = "trestle"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+
+    def run(self):
+        from flye_tpu.trestle import resolve_unbridged_repeats
+        state = getattr(self.ctx, "repeat_state", None)
+        if state is None:
+            raise PipelineException("trestle requires the repeat stage "
+                                    "in the same run")
+        graph, aligner, inferer = state
+        reads = self.ctx.load_reads()
+        resolve_unbridged_repeats(graph, reads, aligner,
+                                  inferer.mean_coverage)
+
+
 class JobContigger(Job):
     name = "contigger"
 
@@ -218,6 +237,32 @@ class JobContigger(Job):
             out_dir=self.ctx.subdir("30-contigger"))
         self.ctx.contigs = contigs
         self.ctx.links = links
+
+
+class JobPlasmids(Job):
+    name = "plasmids"
+
+    def __init__(self, ctx):
+        super().__init__(ctx)
+        self.out_files["plasmids"] = os.path.join(
+            ctx.subdir("22-plasmids"), "plasmids.fasta")
+
+    def run(self):
+        from flye_tpu.plasmids import recover_short_plasmids
+        reads = self.ctx.load_reads()
+        contigs_store = SequenceStore.from_file(
+            os.path.join(self.ctx.out_dir, "30-contigger",
+                         "contigs.fasta"))
+        plasmids = recover_short_plasmids(reads, contigs_store,
+                                          self.ctx.platform)
+        write_fasta(plasmids, self.out_files["plasmids"])
+        # append to the contig set for polishing/finalization
+        from flye_tpu.contigger.extender import ContigInfo
+        for name, codes in plasmids:
+            self.ctx.contigs.append(ContigInfo(
+                name=name, sequence=codes, length=len(codes),
+                coverage=0, circular=True, repetitive=False,
+                multiplicity=1, alt_group=-1, graph_path="*"))
 
 
 class JobPolishing(Job):
@@ -297,9 +342,13 @@ class JobFinalize(Job):
 
 def create_job_list(ctx: RunContext) -> List[Job]:
     jobs: List[Job] = [JobConfigure(ctx), JobAssembly(ctx),
-                       JobConsensus(ctx), JobRepeat(ctx),
-                       JobContigger(ctx), JobPolishing(ctx),
-                       JobFinalize(ctx)]
+                       JobConsensus(ctx), JobRepeat(ctx)]
+    if ctx.read_type == "raw" and not ctx.args.no_trestle:
+        jobs.append(JobTrestle(ctx))
+    jobs.append(JobContigger(ctx))
+    if ctx.args.plasmids and not ctx.args.meta:
+        jobs.append(JobPlasmids(ctx))
+    jobs.extend([JobPolishing(ctx), JobFinalize(ctx)])
     return jobs
 
 
@@ -376,6 +425,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-m", "--min-overlap", type=int, default=None)
     parser.add_argument("--asm-coverage", type=int, default=None)
     parser.add_argument("--meta", action="store_true")
+    parser.add_argument("--no-trestle", action="store_true",
+                        help="skip unbridged repeat resolution")
+    parser.add_argument("--plasmids", action="store_true",
+                        help="recover short unassembled plasmids")
     parser.add_argument("--keep-haplotypes", action="store_true")
     parser.add_argument("--extra-params", default=None)
     parser.add_argument("--resume", action="store_true")
@@ -388,6 +441,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    try:  # persistent kernel-compile cache across runs
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     configure_logging(os.path.join(args.out_dir, "flye.log"),

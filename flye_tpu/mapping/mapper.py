@@ -64,16 +64,27 @@ class ReadMapper:
         strand-aware matches). Returns {target_id: [overlaps with
         cur=target, ext=read]} sorted by target coordinate."""
         by_target: Dict[int, List[Overlap]] = {}
-        ids = reads.ids()
-        for i, sid in enumerate(ids):
-            for ov in self.map_read(reads, sid):
-                rev = ov.reverse()  # cur=target, ext=read(strand-aware)
-                # normalize to the forward strand of the target
-                if rev.cur_id % 2 == 1:
-                    rev = rev.complement()
-                by_target.setdefault(rev.cur_id, []).append(rev)
-            if progress_every and (i + 1) % progress_every == 0:
-                logger.info("mapped %d/%d reads", i + 1, len(ids))
+        ids = sorted(reads.ids(), key=reads.length)
+        done = 0
+        for lo in range(0, len(ids), 48):
+            group = ids[lo:lo + 48]
+            res = self.engine.get_overlaps_batch(reads, group,
+                                                 force_local=True)
+            for sid, ovlps in res.items():
+                if not ovlps:
+                    continue
+                ovlps.sort(key=lambda o: -o.score)
+                best = ovlps[0].score
+                keep = [o for o in ovlps
+                        if o.score >= self.secondary_ratio * best]
+                for ov in keep[:self.max_secondary + 1]:
+                    rev = ov.reverse()  # cur=target, ext=read
+                    if rev.cur_id % 2 == 1:
+                        rev = rev.complement()
+                    by_target.setdefault(rev.cur_id, []).append(rev)
+            done += len(group)
+            if progress_every and done % progress_every < 48:
+                logger.info("mapped %d/%d reads", done, len(ids))
         for tid in by_target:
             by_target[tid].sort(key=lambda o: o.cur_begin)
         return by_target

@@ -122,7 +122,17 @@ def backtrack_chains(score, parent, nvalid, k, max_chains=0):
     """
     import numpy as np
 
-    score = np.asarray(score[:nvalid])
+    score = np.ascontiguousarray(score[:nvalid], dtype=np.int32)
+    from flye_tpu import native
+    mod = native.get()
+    if mod is not None:
+        parent_c = np.ascontiguousarray(parent[:nvalid], dtype=np.int32)
+        out = mod.backtrack_chains(score.tobytes(), parent_c.tobytes(),
+                                   int(nvalid), int(k), int(max_chains))
+        return [(first, last, cscore,
+                 list(np.frombuffer(path, dtype=np.int32)))
+                for first, last, cscore, path in out]
+
     parent = np.asarray(parent[:nvalid]).copy()
     order = np.argsort(-score, kind="stable")
     chains = []

@@ -80,13 +80,26 @@ def _polish_step(cand, cand_len, done, streak, it_count,
         s = jnp.max(x + b_shifted + jmask, axis=3)          # [C*, B, R]
         return jnp.sum(s * bmaskf[None], axis=2)            # [C*, B]
 
+    # On TPU, hoisting all match-cost planes into one big einsum beats
+    # a per-step einsum inside the scan body by ~10x; on CPU the
+    # materialized [Cb,B,R,S] tensor thrashes cache, so each step
+    # contracts its own row there.
+    hoist_match = jax.default_backend() != "cpu"
+
+    def _row_match(x):
+        if hoist_match:
+            return x
+        return jnp.einsum("bx,xbrs->brs", x, sw)
+
     def forward_rows(match_cols, vgap_cols):
-        """F[i] rows via forward scan. match_cols [Cb,B,R,S],
-        vgap_cols [Cb,B]. Returns [Cb+1,B,R,S+1]."""
+        """F[i] rows via forward scan. match_cols [Cb,B,R,S] (hoisted)
+        or [Cb,B,4] one-hot columns (CPU), vgap_cols [Cb,B].
+        Returns [Cb+1,B,R,S+1]."""
         row0 = gp
 
         def step(prev, xs):
-            match, vg = xs                                   # [B,R,S], [B]
+            match, vg = xs
+            match = _row_match(match)                        # [B,R,S]
             vgap = vg[:, None, None]
             tmp = jnp.concatenate(
                 [prev[:, :, :1] + vgap,
@@ -112,6 +125,7 @@ def _polish_step(cand, cand_len, done, streak, it_count,
 
         def step(nxt, xs):
             match, vg, dsi, i = xs
+            match = _row_match(match)
             vgap = vg[:, None, None]
             # tmp[j] = max(B[i+1][j+1] + M(v,w_j), B[i+1][j] + M(v,'-'))
             diag = jnp.where(jpos_s < blen[:, :, None],
@@ -150,9 +164,10 @@ def _polish_step(cand, cand_len, done, streak, it_count,
             [jnp.zeros((Bb, 1), jnp.float32), csum], axis=1)
         ds = csum[:, -1:] - ds
 
-        # all match-cost planes in one contraction (per-step einsums in
-        # the scan body were the TPU bottleneck)
-        match_cols = jnp.einsum("bcx,xbrs->cbrs", c1h, sw)   # [Cb,B,R,S]
+        if hoist_match:
+            match_cols = jnp.einsum("bcx,xbrs->cbrs", c1h, sw)
+        else:
+            match_cols = jnp.moveaxis(c1h, 0, 1)             # [Cb,B,4]
         vgap_cols = vgap_m.T                                 # [Cb,B]
         F = forward_rows(match_cols, vgap_cols)
         Bm = backward_rows(match_cols, vgap_cols, ds[:, :Cb].T,

@@ -84,56 +84,61 @@ class OverlapEngine:
 
     # ------------------------------------------------------------------
 
-    def _collect_matches(self, query_store: SequenceStore, sid: int):
-        """Probe the index with every query k-mer. Returns match arrays
-        (qpos, ext_id, ext_pos) plus repetitive-kmer query positions."""
-        codes = query_store.get(sid)
-        n = len(codes)
-        pad = 1 << max(6, (n - 1).bit_length())
-        batch = np.zeros((1, pad), dtype=np.uint8)
-        batch[0, :n] = codes
-        lens = np.array([n], dtype=np.int32)
+    def _collect_matches_batch(self, query_store: SequenceStore,
+                               sids: Sequence[int]):
+        """Probe the index with every k-mer of a batch of query strands
+        in one device pass. Yields per-sid match tuples."""
+        lengths = [query_store.length(s) for s in sids]
+        pad = 1 << max(6, (max(lengths) - 1).bit_length())
+        batch, lens = query_store.padded_batch(sids, pad)
         canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
-        canon = np.asarray(canon)[0]
-        is_fwd = np.asarray(is_fwd)[0]
-        valid = np.asarray(valid)[0]
+        canon = np.asarray(canon)
+        is_fwd = np.asarray(is_fwd)
+        valid = np.asarray(valid)
 
-        qpos_all = np.flatnonzero(valid)
-        row, found = self.index.lookup(canon[qpos_all])
+        rows_q, cols_q = np.nonzero(valid)
+        row, found = self.index.lookup(canon[rows_q, cols_q])
         rep = found & self.index.repetitive[row]
-        filtered_pos = qpos_all[rep]
         hit = found & ~rep
-        qpos = qpos_all[hit]
-        rows = row[hit]
-        qfwd = is_fwd[qpos]
 
-        cnt = self.index.counts[rows].astype(np.int64)
-        starts = self.index.offsets[rows]
-        total = int(cnt.sum())
-        if total == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return (z.astype(np.int32), z, z.astype(np.int32), filtered_pos,
-                    n, codes)
-        # flat posting gather: for each hit kmer, its [start, start+cnt)
-        reps = np.repeat(np.arange(len(rows)), cnt)
-        base = np.repeat(starts, cnt)
-        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        flat = base + offs
-        t_seq = self.index.post_seq[flat].astype(np.int64)
-        t_pos = self.index.post_pos[flat].astype(np.int64)
-        t_flip = self.index.post_flip[flat]
-        m_qpos = qpos[reps].astype(np.int32)
-        m_qfwd = qfwd[reps]
+        out = []
+        for qi, sid in enumerate(sids):
+            mine = rows_q == qi
+            filtered_pos = cols_q[mine & rep]
+            sel = mine & hit
+            qpos = cols_q[sel]
+            rows_i = row[sel]
+            qfwd = is_fwd[qi][qpos]
 
-        same = m_qfwd ^ t_flip          # same-strand match?
-        tlen = self._target_lengths[t_seq]
-        ext_id = 2 * t_seq + (~same).astype(np.int64)
-        ext_pos = np.where(same, t_pos, tlen - self.k - t_pos).astype(np.int32)
+            cnt = self.index.counts[rows_i].astype(np.int64)
+            starts = self.index.offsets[rows_i]
+            total = int(cnt.sum())
+            n = lengths[qi]
+            if total == 0:
+                z = np.zeros(0, dtype=np.int64)
+                out.append((sid, z.astype(np.int32), z, z.astype(np.int32),
+                            filtered_pos, n))
+                continue
+            reps = np.repeat(np.arange(len(rows_i)), cnt)
+            base = np.repeat(starts, cnt)
+            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            flat = base + offs
+            t_seq = self.index.post_seq[flat].astype(np.int64)
+            t_pos = self.index.post_pos[flat].astype(np.int64)
+            t_flip = self.index.post_flip[flat]
+            m_qpos = qpos[reps].astype(np.int32)
+            m_qfwd = qfwd[reps]
 
-        # drop trivial self-matches (reference: overlap.cpp:190-192)
-        keep = ~((ext_id == sid) & (ext_pos == m_qpos))
-        return (m_qpos[keep], ext_id[keep], ext_pos[keep], filtered_pos,
-                n, codes)
+            same = m_qfwd ^ t_flip          # same-strand match?
+            tlen = self._target_lengths[t_seq]
+            ext_id = 2 * t_seq + (~same).astype(np.int64)
+            ext_pos = np.where(same, t_pos,
+                               tlen - self.k - t_pos).astype(np.int32)
+            # drop trivial self-matches (reference: overlap.cpp:190-192)
+            keep = ~((ext_id == sid) & (ext_pos == m_qpos))
+            out.append((sid, m_qpos[keep], ext_id[keep], ext_pos[keep],
+                        filtered_pos, n))
+        return out
 
     # ------------------------------------------------------------------
 
@@ -142,58 +147,74 @@ class OverlapEngine:
                      max_overlaps: int = 0) -> List[Overlap]:
         """All overlaps of one query strand (reference:
         overlap.cpp:99-508 getSeqOverlaps)."""
-        qpos, ext_id, ext_pos, filtered_pos, cur_len, cur_codes = (
-            self._collect_matches(query_store, sid))
-        if len(qpos) == 0:
-            return []
+        return self.get_overlaps_batch(query_store, [sid], force_local,
+                                       max_overlaps)[sid]
 
-        order = np.lexsort((qpos, ext_id))
-        qpos, ext_id, ext_pos = qpos[order], ext_id[order], ext_pos[order]
+    def get_overlaps_batch(self, query_store: SequenceStore,
+                           sids: Sequence[int], force_local: bool = False,
+                           max_overlaps: int = 0
+                           ) -> Dict[int, List[Overlap]]:
+        """Overlaps for a batch of query strands: one k-mer extraction +
+        index lookup pass and one chaining-DP bucket set for the whole
+        batch (cross-read batching keeps the device busy; the reference
+        parallelizes the same loop over threads,
+        reference: overlap.cpp:630-668)."""
+        per_sid = self._collect_matches_batch(query_store, sids)
 
-        # group by target
-        bounds = np.flatnonzero(
-            np.concatenate([[True], ext_id[1:] != ext_id[:-1]]))
-        bounds = np.append(bounds, len(ext_id))
-
+        # collect chain groups across all queries
         min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
-        groups = []  # (ext_id, cur[], ext[])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            gcur, gext = qpos[s:e], ext_pos[s:e]
-            uniq_matches = 1 + int(np.count_nonzero(gcur[1:] != gcur[:-1]))
-            if uniq_matches < min_surv:
+        groups = []       # (qi, eid, elen, gcur, gext)
+        query_meta = []   # (sid, cur_len, filtered_pos)
+        for qi, (sid, qpos, ext_id, ext_pos, filtered_pos, cur_len) in                 enumerate(per_sid):
+            query_meta.append((sid, cur_len, filtered_pos))
+            if len(qpos) == 0:
                 continue
-            eid = int(ext_id[s])
-            elen = int(self._target_lengths[eid >> 1])
-            min_cur, max_cur = int(gcur[0]), int(gcur[-1])
-            min_ext, max_ext = int(gext.min()), int(gext.max())
-            if (max_cur - min_cur < self.min_overlap or
-                    max_ext - min_ext < self.min_overlap):
-                continue
-            if self.check_overhang and not force_local:
-                if min(min_cur, min_ext) > self.max_overhang:
+            order = np.lexsort((qpos, ext_id))
+            qpos, ext_id, ext_pos = (qpos[order], ext_id[order],
+                                     ext_pos[order])
+            bounds = np.flatnonzero(
+                np.concatenate([[True], ext_id[1:] != ext_id[:-1]]))
+            bounds = np.append(bounds, len(ext_id))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                gcur, gext = qpos[s:e], ext_pos[s:e]
+                uniq_matches = 1 + int(
+                    np.count_nonzero(gcur[1:] != gcur[:-1]))
+                if uniq_matches < min_surv:
                     continue
-                if min(cur_len - max_cur, elen - max_ext) > self.max_overhang:
+                eid = int(ext_id[s])
+                elen = int(self._target_lengths[eid >> 1])
+                min_cur, max_cur = int(gcur[0]), int(gcur[-1])
+                min_ext, max_ext = int(gext.min()), int(gext.max())
+                if (max_cur - min_cur < self.min_overlap or
+                        max_ext - min_ext < self.min_overlap):
                     continue
-            ext_sorted = elen > cur_len
-            if ext_sorted:
-                o = np.argsort(gext, kind="stable")
-                gcur, gext = gcur[o], gext[o]
-            groups.append((eid, elen, gcur, gext))
+                if self.check_overhang and not force_local:
+                    if min(min_cur, min_ext) > self.max_overhang:
+                        continue
+                    if min(cur_len - max_cur,
+                           elen - max_ext) > self.max_overhang:
+                        continue
+                if elen > cur_len:
+                    o = np.argsort(gext, kind="stable")
+                    gcur, gext = gcur[o], gext[o]
+                groups.append((qi, eid, elen, gcur, gext))
 
-        if not groups:
-            return []
+        chain_results = self._run_chain_dp(
+            [(eid, elen, gcur, gext)
+             for _, eid, elen, gcur, gext in groups]) if groups else []
 
-        # batched chain DP, bucketed by match count
-        chain_results = self._run_chain_dp(groups)
-
-        detected: List[Overlap] = []
-        div_windows: Dict[int, Overlap] = {}
+        # finish per query, sharing one divergence batcher
+        results: Dict[int, List[Overlap]] = {sid: [] for sid, _, _ in
+                                             query_meta}
+        div_windows: Dict[int, Dict[int, Overlap]] = {}
         seg_batcher = SegmentBatcher() if self.nucl_alignment else None
-        pending = []  # (overlap, finish_fn) for base-level divergence
-        for (eid, elen, gcur, gext), (score, parent) in zip(groups,
-                                                            chain_results):
+        pending = []  # (sid, overlap, finish_fn)
+        for (qi, eid, elen, gcur, gext), (score, parent) in zip(
+                groups, chain_results):
+            sid, cur_len, filtered_pos = query_meta[qi]
+            detected = results[sid]
             if max_overlaps and len(detected) >= max_overlaps:
-                break
+                continue
             ext_ovlps = self._extract_overlaps(
                 sid, cur_len, eid, elen, gcur, gext, score, parent,
                 filtered_pos, force_local)
@@ -208,29 +229,31 @@ class OverlapEngine:
                     if not any(ov.contained_by(p) and p.score > ov.score
                                for p in primary):
                         primary.append(ov)
-
             for ov in primary:
                 if self.nucl_alignment:
+                    cur_codes = query_store.get(sid)
                     ext_codes = self.targets.get(ov.ext_id)
                     anchors = self._anchors_for(ov)
                     finish = anchored_divergence(
                         cur_codes, ext_codes, anchors, self.k,
                         use_hpc=self.use_hpc, batcher=seg_batcher)
-                    pending.append((ov, finish))
+                    pending.append((sid, ov, finish))
                 else:
-                    self._keep_or_trim(ov, None, detected, div_windows)
+                    self._keep_or_trim(ov, None, detected,
+                                       div_windows.setdefault(sid, {}))
 
         if pending:
             dists = seg_batcher.run()
-            for ov, finish in pending:
+            for sid, ov, finish in pending:
                 div, per_seg, spans = finish(dists)
                 ov.divergence = div
-                self._keep_or_trim(ov, (per_seg, spans), detected,
-                                   div_windows)
+                self._keep_or_trim(ov, (per_seg, spans), results[sid],
+                                   div_windows.setdefault(sid, {}))
 
-        for ov in div_windows.values():
-            self.div_stats.append(ov.divergence)
-        return detected
+        for sid_windows in div_windows.values():
+            for ov in sid_windows.values():
+                self.div_stats.append(ov.divergence)
+        return results
 
     # ------------------------------------------------------------------
 
@@ -427,6 +450,41 @@ class OverlapStore:
             self._cache[fwd_id] = entry
         return entry[0] if sid % 2 == 0 else entry[1]
 
+    def prefetch(self, sids, batch_rows: int = 48,
+                 max_batch_bases: int = 4 << 20,
+                 progress_every: int = 0) -> None:
+        """Batch-fill the overlap cache (cross-read device batching)."""
+        todo = []
+        seen = set()
+        for sid in sids:
+            fwd = sid & ~1
+            if fwd not in self._cache and fwd not in seen:
+                seen.add(fwd)
+                todo.append(fwd)
+        # group by similar length for padding efficiency
+        todo.sort(key=lambda s: self.queries.length(s))
+        done = 0
+        i = 0
+        while i < len(todo):
+            group = [todo[i]]
+            bases = self.queries.length(todo[i])
+            i += 1
+            while (i < len(todo) and len(group) < batch_rows and
+                   bases + self.queries.length(todo[i]) <
+                   max_batch_bases):
+                group.append(todo[i])
+                bases += self.queries.length(todo[i])
+                i += 1
+            res = self.engine.get_overlaps_batch(
+                self.queries, group,
+                max_overlaps=self.engine.max_cur_overlaps)
+            for sid, ovlps in res.items():
+                self._cache[sid] = (ovlps,
+                                    [o.complement() for o in ovlps])
+            done += len(group)
+            if progress_every and done // progress_every !=                     (done - len(group)) // progress_every:
+                logger.info("overlaps: %d/%d reads", done, len(todo))
+
     def overlaps(self, sid: int) -> List[Overlap]:
         return self.lazy_overlaps(sid)
 
@@ -439,11 +497,8 @@ class OverlapStore:
 
     def find_all_overlaps(self, progress_every: int = 0) -> None:
         """All-vs-all (reference: overlap.cpp:630-668)."""
-        ids = self.queries.ids()
-        for i, sid in enumerate(ids):
-            self.lazy_overlaps(sid)
-            if progress_every and (i + 1) % progress_every == 0:
-                logger.info("overlaps: %d/%d reads", i + 1, len(ids))
+        self.prefetch(self.queries.ids(),
+                      progress_every=progress_every)
         self.ensure_transitivity(only_max_ext=False)
         n = sum(len(v[0]) * 2 for v in self._cache.values())
         logger.debug("Found %d overlaps", n)
@@ -519,14 +574,17 @@ class OverlapStore:
         if not ids:
             self.mean_true_divergence = 0.5
             return
-        sample = [ids[int(rng.integers(0, len(ids)))]
-                  for _ in range(min(max_seqs, len(ids)))]
+        sample = list({ids[int(rng.integers(0, len(ids)))]
+                       for _ in range(min(max_seqs, len(ids)))})
+        sample.sort(key=lambda s: self.queries.length(s))
         divs = []
-        for sid in sample:
-            ovlps = self.quick_overlaps(sid)
-            if ovlps:
-                best = max(ovlps, key=lambda o: o.cur_range)
-                divs.append(best.divergence)
+        for lo in range(0, len(sample), 48):
+            res = self.engine.get_overlaps_batch(
+                self.queries, sample[lo:lo + 48])
+            for ovlps in res.values():
+                if ovlps:
+                    best = max(ovlps, key=lambda o: o.cur_range)
+                    divs.append(best.divergence)
         if divs:
             self.mean_true_divergence = float(np.median(divs))
         else:

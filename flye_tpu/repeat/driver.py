@@ -71,10 +71,14 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
         inferer.estimate_coverage()
         resolver = RepeatResolver(graph, reads, aligner, cfg,
                                   inferer.unique_cov_threshold)
+        from flye_tpu.repeat.haplotype import HaplotypeResolver
+        hap = HaplotypeResolver(graph, cfg)
         # iterate until fixpoint (reference: main_repeat.cpp:240-270)
         for iteration in range(10):
             actions = 0
             actions += inferer.trim_tips()
+            actions += hap.find_heterozygous_bulges()
+            actions += hap.find_heterozygous_loops()
             resolver.find_repeats()
             actions += resolver.resolve_repeats()
             if actions == 0:
@@ -82,6 +86,10 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
             logger.debug("simplification iteration %d: %d actions",
                          iteration + 1, actions)
         resolver.finalize_graph()
+        keep_haplotypes = ("keep_haplotypes" in cfg and
+                           cfg.keep_haplotypes)
+        if not keep_haplotypes:
+            hap.collapse_haplotypes()
 
     if out_dir:
         graph.store(os.path.join(out_dir, "repeat_graph_dump"))

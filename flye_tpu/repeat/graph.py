@@ -157,6 +157,9 @@ class RepeatGraph:
         self.edges[edge.edge_id] = edge
         edge.node_left.out_edges.append(edge)
         edge.node_right.in_edges.append(edge)
+        # keep the id allocator ahead of any explicitly-assigned id
+        self._next_edge_id = max(self._next_edge_id,
+                                 (edge.edge_id | 1) + 1)
         return edge
 
     def remove_edge(self, edge: GraphEdge) -> None:
@@ -466,7 +469,8 @@ class RepeatGraph:
                     continue
                 left = self.nodes_by_id(pair[0])
                 right = self.nodes_by_id(pair[1])
-                edge = GraphEdge(left, right, self._next_edge_id)
+                base_id = self._next_edge_id
+                edge = GraphEdge(left, right, base_id)
                 for i in idxs:
                     edge.seq_segments.append(segs[i])
                     used_segments.add(segs[i].complement().key())
@@ -476,11 +480,11 @@ class RepeatGraph:
                     cpair = compl_pair[pair]
                     cedge = GraphEdge(self.nodes_by_id(cpair[0]),
                                       self.nodes_by_id(cpair[1]),
-                                      self._next_edge_id + 1)
+                                      base_id + 1)
                     for i in idxs:
                         cedge.seq_segments.append(segs[i].complement())
                     self.add_edge(cedge)
-                self._next_edge_id += 2
+                self._next_edge_id = base_id + 2
         logger.debug("Filtered %d singleton segments", singletons_filtered)
 
     def nodes_by_id(self, node_id: int) -> GraphNode:

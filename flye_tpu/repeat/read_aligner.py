@@ -86,31 +86,36 @@ class ReadAligner:
         n_aligned = 0
         total_aln_len = 0
         self.alignments = []
-        for rid in self.reads.ids():
-            if self.reads.length(rid) <= self.min_overlap:
-                continue
-            ovlps = engine.get_overlaps(self.reads, rid, force_local=True)
-            alns = []
-            for ov in ovlps:
-                if (ov.ext_len < _LONG_EDGE or
-                        min(ov.cur_range, ov.ext_range) > _BIG_ALN):
-                    alns.append(EdgeAlignment(ov, id_to_edge[ov.ext_id]))
-            alns.sort(key=lambda a: a.overlap.cur_begin)
-            chains = self._chain_alignments(alns)
-            good = [c for c in chains
-                    if self._chain_divergence(c) < max_div]
-            for chain in good:
-                self.alignments.append(chain)
-                # complement chain
-                comp = [EdgeAlignment(
-                    a.overlap.complement(),
-                    self.graph.complement_edge(a.edge))
-                    for a in reversed(chain)]
-                self.alignments.append(comp)
-            if good:
-                n_aligned += 1
-                total_aln_len += sum(a.overlap.cur_range
-                                     for c in good for a in c)
+        todo = [rid for rid in self.reads.ids()
+                if self.reads.length(rid) > self.min_overlap]
+        todo.sort(key=self.reads.length)
+        batches = [todo[i:i + 48] for i in range(0, len(todo), 48)]
+        for group in batches:
+            batch_res = engine.get_overlaps_batch(self.reads, group,
+                                                  force_local=True)
+            for rid in group:
+                ovlps = batch_res.get(rid, [])
+                alns = []
+                for ov in ovlps:
+                    if (ov.ext_len < _LONG_EDGE or
+                            min(ov.cur_range, ov.ext_range) > _BIG_ALN):
+                        alns.append(EdgeAlignment(ov,
+                                                  id_to_edge[ov.ext_id]))
+                alns.sort(key=lambda a: a.overlap.cur_begin)
+                chains = self._chain_alignments(alns)
+                good = [c for c in chains
+                        if self._chain_divergence(c) < max_div]
+                for chain in good:
+                    self.alignments.append(chain)
+                    comp = [EdgeAlignment(
+                        a.overlap.complement(),
+                        self.graph.complement_edge(a.edge))
+                        for a in reversed(chain)]
+                    self.alignments.append(comp)
+                if good:
+                    n_aligned += 1
+                    total_aln_len += sum(a.overlap.cur_range
+                                         for c in good for a in c)
         logger.info("Aligned %d reads, total alignment length %d",
                     n_aligned, total_aln_len)
 

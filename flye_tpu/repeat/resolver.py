@@ -217,8 +217,10 @@ class RepeatResolver:
         comp_path = self.graph.complement_path(conn.path)
         if comp_path[0] is conn.path[0]:
             comp_path = None  # palindromic connection: splice once
-        for path, seq_id in ((conn.path, int(bid)),
-                             (comp_path, int(SeqId(bid).rc))):
+        base_id = self.graph._next_edge_id
+        for offset, (path, seq_id) in enumerate(
+                ((conn.path, int(bid)),
+                 (comp_path, int(SeqId(bid).rc)))):
             if path is None:
                 continue
             in_edge, out_edge = path[0], path[-1]
@@ -236,8 +238,7 @@ class RepeatResolver:
             out_edge.node_left = new_right
             new_right.out_edges.append(out_edge)
             bridge_edge = GraphEdge(new_left, new_right,
-                                    self.graph._next_edge_id)
-            self.graph._next_edge_id += 1
+                                    base_id + offset)
             bridge_edge.seq_segments.append(EdgeSequence(
                 seq_id, len(read_codes), 0, len(bridge)))
             bridge_edge.mean_coverage = in_edge.mean_coverage

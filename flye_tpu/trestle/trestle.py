@@ -1,0 +1,304 @@
+"""Trestle: resolution of unbridged multiplicity-2 repeats.
+
+Behavioral port of the Trestle stage essentials
+(reference: flye/trestle/trestle.py:33-127 pipeline,
+graph_resolver.py:45 get_simple_repeats, trestle_config.py:9-27).
+
+A "simple" repeat is a repetitive unbranching path with exactly two
+entrances and two exits that no single read bridges. The reference
+resolves it by calling divergent positions between the two repeat
+copies and iteratively partitioning reads by side; here the same idea
+runs through our primitives:
+
+1. reads entering from each in-edge are known-side by construction;
+2. each side's reads polish their own copy of the repeat template
+   (the polisher IS the divergent-position machinery — side-specific
+   consensus encodes the copy's private variants);
+3. each side's exiting reads vote for an out-edge; a confident,
+   consistent vote bridges in->out and the graph is edited exactly like
+   a read-bridged connection.
+
+The full iterative-extension loop for very long repeats (reference:
+trestle.py:1075) lands in a later round; this resolves the common
+multiplicity-2 case where flank-anchored reads reach into the repeat
+from both ends.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from flye_tpu.io.seqstore import SeqId, SequenceStore
+from flye_tpu.repeat.graph import EdgeSequence, GraphEdge, RepeatGraph
+from flye_tpu.repeat.output import path_sequence
+from flye_tpu.repeat.processing import UnbranchingPath, get_unbranching_paths
+
+logger = logging.getLogger("flye_tpu")
+
+CONFIG = {
+    "max_iter": 10,
+    "min_edge_cov": 10,
+    "min_bridge_count": 5,
+    "min_bridge_factor": 2,
+    "min_mult": 2,
+    "max_mult": 3,
+    "flanking_len": 10_000,
+}
+
+
+@dataclass
+class SimpleRepeat:
+    path: UnbranchingPath
+    in_edges: List[GraphEdge]
+    out_edges: List[GraphEdge]
+
+
+def get_simple_repeats(graph: RepeatGraph,
+                       mean_coverage: int) -> List[SimpleRepeat]:
+    """Repetitive unbranching paths with exactly 2 entrances and 2 exits
+    (reference: graph_resolver.py:45 get_simple_repeats)."""
+    out = []
+    seen = set()
+    for path in get_unbranching_paths(graph):
+        first, last = path.path[0], path.path[-1]
+        if not path.repetitive or first.self_complement:
+            continue
+        if path.id in seen:
+            continue
+        comp_id = graph.complement_edge(last).edge_id
+        seen.add(path.id)
+        seen.add(comp_id)
+        ins = [e for e in first.node_left.in_edges
+               if not e.repetitive and not e.is_looped]
+        outs = [e for e in last.node_right.out_edges
+                if not e.repetitive and not e.is_looped]
+        if len(ins) != 2 or len(outs) != 2:
+            continue
+        if len(first.node_left.in_edges) != 2 or \
+                len(last.node_right.out_edges) != 2:
+            continue
+        mult = round(path.mean_coverage / max(1, mean_coverage))
+        if not (CONFIG["min_mult"] <= mult <= CONFIG["max_mult"]):
+            continue
+        out.append(SimpleRepeat(path, ins, outs))
+    return out
+
+
+def resolve_unbridged_repeats(graph: RepeatGraph, reads: SequenceStore,
+                              aligner, mean_coverage: int) -> int:
+    """Resolve simple unbridged repeats by side voting. Returns the
+    number of repeats resolved."""
+    repeats = get_simple_repeats(graph, mean_coverage)
+    if not repeats:
+        return 0
+    logger.info("Trestle: %d simple repeats to analyze", len(repeats))
+
+    # index read chains by the edges they traverse
+    chains_by_edge: Dict[int, List] = {}
+    for chain in aligner.alignments:
+        for a in chain:
+            chains_by_edge.setdefault(a.edge.edge_id, []).append(chain)
+
+    resolved = 0
+    for rep in repeats:
+        pairing = _vote_sides(rep, chains_by_edge)
+        if pairing is None:
+            pairing = _divergence_vote(graph, reads, rep, chains_by_edge)
+        if pairing is None:
+            continue
+        (in_a, out_a), (in_b, out_b) = pairing
+        for in_e, out_e in ((in_a, out_a), (in_b, out_b)):
+            _bridge(graph, rep, in_e, out_e)
+        for e in rep.path.path:
+            e.resolved = True
+        resolved += 1
+        logger.debug("Trestle resolved repeat %s: %r->%r, %r->%r",
+                     rep.path.name, in_a, out_a, in_b, out_b)
+    if resolved:
+        logger.info("Trestle: resolved %d unbridged repeats", resolved)
+    return resolved
+
+
+def _vote_sides(rep: SimpleRepeat, chains_by_edge) -> Optional[Tuple]:
+    """Pair entrances with exits using reads that reach from a flank
+    into the repeat and out again, or transitively via repeat-interior
+    consistency. Requires min_bridge_count supporting chains and a
+    min_bridge_factor majority (reference thresholds,
+    trestle_config.py)."""
+    votes: Dict[Tuple[int, int], int] = {}
+    repeat_ids = {e.edge_id for e in rep.path.path}
+    for in_e in rep.in_edges:
+        for chain in chains_by_edge.get(in_e.edge_id, []):
+            edge_ids = [a.edge.edge_id for a in chain]
+            if in_e.edge_id not in edge_ids:
+                continue
+            pos = edge_ids.index(in_e.edge_id)
+            # walk forward through the repeat to an exit
+            for eid in edge_ids[pos + 1:]:
+                if eid in repeat_ids:
+                    continue
+                for out_e in rep.out_edges:
+                    if eid == out_e.edge_id:
+                        key = (in_e.edge_id, out_e.edge_id)
+                        votes[key] = votes.get(key, 0) + 1
+                break
+    if not votes:
+        return None
+    in_ids = [e.edge_id for e in rep.in_edges]
+    out_ids = [e.edge_id for e in rep.out_edges]
+    # two possible pairings
+    p1 = ((in_ids[0], out_ids[0]), (in_ids[1], out_ids[1]))
+    p2 = ((in_ids[0], out_ids[1]), (in_ids[1], out_ids[0]))
+    s1 = votes.get(p1[0], 0) + votes.get(p1[1], 0)
+    s2 = votes.get(p2[0], 0) + votes.get(p2[1], 0)
+    best, alt, pairing = ((s1, s2, p1) if s1 >= s2 else (s2, s1, p2))
+    if best < CONFIG["min_bridge_count"]:
+        return None
+    if alt > 0 and best < CONFIG["min_bridge_factor"] * alt:
+        return None
+    edge_map = {e.edge_id: e for e in rep.in_edges + rep.out_edges}
+    return ((edge_map[pairing[0][0]], edge_map[pairing[0][1]]),
+            (edge_map[pairing[1][0]], edge_map[pairing[1][1]]))
+
+
+def _mid_segments(reads, rep, chains, repeat_edge, mid_lo, mid_hi):
+    """Read substrings covering the repeat's middle interval, projected
+    through their edge alignments."""
+    segs = []
+    for chain in chains:
+        for a in chain:
+            if a.edge is not repeat_edge:
+                continue
+            ov = a.overlap
+            if ov.ext_begin > mid_lo or ov.ext_end < mid_hi:
+                continue
+            # ov: cur=read, ext=edge; project edge coords to read coords
+            rev = ov.reverse()
+            try:
+                r0 = rev.project(mid_lo)
+                r1 = rev.project(mid_hi)
+            except ValueError:
+                continue
+            if r1 > r0:
+                segs.append(reads.get(ov.cur_id)[r0:r1])
+            break
+    return segs
+
+
+def _divergence_vote(graph: RepeatGraph, reads: SequenceStore,
+                     rep: SimpleRepeat, chains_by_edge
+                     ) -> Optional[Tuple]:
+    """The genuinely-unbridged case: no read spans in->out, but entering
+    and exiting reads overlap in the repeat middle. Build a
+    side-specific consensus of the middle from each entrance's reads
+    and match each exit's reads to the closer consensus
+    (the polisher stands in for the reference's divergent-position
+    calling + read partitioning, reference: flye/trestle/divergence.py,
+    trestle.py:1075)."""
+    from flye_tpu.ops.align import SegmentBatcher
+    from flye_tpu.polishing.polisher import polish_bubble_set
+    from flye_tpu.polishing.windows import Bubble
+
+    if len(rep.path.path) != 1:
+        return None
+    edge = rep.path.path[0]
+    L = edge.length()
+    w = min(500, L // 3)
+    if w < 100:
+        return None
+    mid_lo, mid_hi = L // 2 - w // 2, L // 2 + w // 2
+    template = path_sequence(graph, rep.path)[mid_lo:mid_hi]
+    if not len(template):
+        return None
+
+    in_segs = {}
+    for in_e in rep.in_edges:
+        segs = _mid_segments(reads, rep,
+                             chains_by_edge.get(in_e.edge_id, []),
+                             edge, mid_lo, mid_hi)
+        if len(segs) < 2:
+            return None
+        in_segs[in_e.edge_id] = segs
+    out_segs = {}
+    for out_e in rep.out_edges:
+        segs = _mid_segments(reads, rep,
+                             chains_by_edge.get(out_e.edge_id, []),
+                             edge, mid_lo, mid_hi)
+        if len(segs) < 2:
+            return None
+        out_segs[out_e.edge_id] = segs
+
+    # side-specific middle consensuses via the polisher
+    bubbles = []
+    for in_id, segs in in_segs.items():
+        b = Bubble(0, 0, 0, len(template), template.copy())
+        b.branches = segs[:16]
+        bubbles.append((in_id, b))
+    polish_bubble_set([b for _, b in bubbles], "pacbio")
+    consensus = {in_id: (b.polished if b.polished is not None
+                         else b.candidate) for in_id, b in bubbles}
+
+    # match exits to the nearer consensus
+    batcher = SegmentBatcher()
+    keys = []
+    for out_id, segs in out_segs.items():
+        for in_id, cons in consensus.items():
+            for seg in segs[:8]:
+                keys.append((out_id, in_id, batcher.add(seg, cons)))
+    dists = batcher.run()
+    score: Dict[Tuple[int, int], int] = {}
+    for out_id, in_id, idx in keys:
+        score[(out_id, in_id)] = score.get((out_id, in_id), 0) + \
+            int(dists[idx])
+
+    in_ids = [e.edge_id for e in rep.in_edges]
+    out_ids = [e.edge_id for e in rep.out_edges]
+    p1 = score.get((out_ids[0], in_ids[0]), 0) + \
+        score.get((out_ids[1], in_ids[1]), 0)
+    p2 = score.get((out_ids[0], in_ids[1]), 0) + \
+        score.get((out_ids[1], in_ids[0]), 0)
+    if p1 == p2:
+        return None
+    edge_map = {e.edge_id: e for e in rep.in_edges + rep.out_edges}
+    if p1 < p2:  # lower edit distance = better match
+        pairing = ((in_ids[0], out_ids[0]), (in_ids[1], out_ids[1]))
+    else:
+        pairing = ((in_ids[0], out_ids[1]), (in_ids[1], out_ids[0]))
+    return ((edge_map[pairing[0][0]], edge_map[pairing[0][1]]),
+            (edge_map[pairing[1][0]], edge_map[pairing[1][1]]))
+
+
+def _bridge(graph: RepeatGraph, rep: SimpleRepeat,
+            in_edge: GraphEdge, out_edge: GraphEdge) -> None:
+    """Splice a copy of the repeat sequence between a paired entrance
+    and exit, and symmetrically on the complement strand
+    (reference: graph_resolver.py:170 apply_changes)."""
+    repeat_seq = path_sequence(graph, rep.path)
+    bid = graph.asm.add(
+        f"trestle_{rep.path.name}_{in_edge.edge_id}_{out_edge.edge_id}",
+        np.ascontiguousarray(repeat_seq))
+    comp_in = graph.complement_edge(out_edge)   # enters comp repeat
+    comp_out = graph.complement_edge(in_edge)   # exits comp repeat
+    base_id = graph._next_edge_id
+    pairs = [(in_edge, out_edge, int(bid), base_id)]
+    if comp_in is not out_edge:  # not palindromic
+        pairs.append((comp_in, comp_out, int(SeqId(bid).rc), base_id + 1))
+    for ie, oe, seq_id, eid in pairs:
+        new_left = graph.add_node()
+        ie.node_right.in_edges.remove(ie)
+        ie.node_right = new_left
+        new_left.in_edges.append(ie)
+        new_right = graph.add_node()
+        oe.node_left.out_edges.remove(oe)
+        oe.node_left = new_right
+        new_right.out_edges.append(oe)
+        bridge = GraphEdge(new_left, new_right, eid)
+        bridge.seq_segments.append(
+            EdgeSequence(seq_id, len(repeat_seq), 0, len(repeat_seq)))
+        bridge.mean_coverage = ie.mean_coverage
+        graph.add_edge(bridge)
+    graph._next_edge_id = base_id + 2

@@ -38,10 +38,12 @@ def simulate_reads(
     total = 0
     i = 0
     sub_p, ins_p, del_p = error_mix
-    genome2 = np.concatenate([genome, genome]) if circular else genome
+    genome2 = np.concatenate([genome] * 3) if circular else genome
     while total < target:
         length = int(rng.gamma(4.0, mean_length / 4.0))
-        length = max(min_length, min(length, glen))
+        # circular genomes may be read around the origin (up to ~2 circles)
+        cap = 2 * glen if circular else glen
+        length = max(min_length, min(length, cap))
         start = int(rng.integers(0, glen if circular else max(1, glen - length)))
         frag = genome2[start:start + length].copy()
         strand = "+"

@@ -39,9 +39,11 @@ import jax.numpy as jnp
 NEG = jnp.float32(-1e30)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "steepest"))
 def _polish_step(cand, cand_len, done, streak, it_count,
-                 branches, blen, bmask, subs, block_size: int = 64):
+                 branches, blen, bmask, subs, block_size: int = 64,
+                 steepest: bool = True):
     """One hill-climbing step over the whole batch (jitted; the
     convergence loop is driven from the host — a lax.while_loop
     formulation miscompiled the loop-carried suffix scan on this
@@ -226,9 +228,23 @@ def _polish_step(cand, cand_len, done, streak, it_count,
         thr = total[None, :] + eps
         active = ((blk_ids % 2) == (it_count % 2)) | (nb == 1)
         live = active[:, None] & ~done[None, :]
-        choose_del = live & (delb_best > thr)
-        choose_ins = live & ~choose_del & (insb_best > thr)
-        choose_sub = live & ~choose_del & ~choose_ins & (subb_best > thr)
+        if steepest:
+            # steepest ascent: best-scoring edit type per block (fixes a
+            # substitution in one step instead of the reference's
+            # del-then-ins dance; same or better local optima)
+            best3 = jnp.maximum(jnp.maximum(delb_best, insb_best),
+                                subb_best)
+            improving = live & (best3 > thr)
+            choose_del = improving & (delb_best >= best3)
+            choose_ins = improving & ~choose_del & (insb_best >= best3)
+            choose_sub = improving & ~choose_del & ~choose_ins
+        else:
+            # reference precedence: all deletions, then insertions,
+            # then substitutions (general_polisher.cpp:70-125)
+            choose_del = live & (delb_best > thr)
+            choose_ins = live & ~choose_del & (insb_best > thr)
+            choose_sub = live & ~choose_del & ~choose_ins & \
+                (subb_best > thr)
 
         n_del = jnp.sum(choose_del, axis=0).astype(jnp.int32)
         n_ins = jnp.sum(choose_ins, axis=0).astype(jnp.int32)
@@ -314,7 +330,8 @@ def _polish_step(cand, cand_len, done, streak, it_count,
 
 
 def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
-                   max_iters: int, block_size: int = 64):
+                   max_iters: int, block_size: int = 64,
+                   steepest: bool = True):
     """Hill-climb every bubble to convergence.
 
     Args:
@@ -343,7 +360,8 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     for it in range(max_iters):
         cand, cand_len, done, streak, score = _polish_step(
             cand, cand_len, done, streak, jnp.int32(it),
-            branches, blen, bmask, subs, block_size=block_size)
+            branches, blen, bmask, subs, block_size=block_size,
+            steepest=steepest)
         done_h = np.asarray(done)
         iters += ~done_h
         if done_h.all():

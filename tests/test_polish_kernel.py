@@ -62,7 +62,7 @@ def oracle_polish(cand, branches, max_iters=200):
     return cand
 
 
-def run_kernel(cands, branch_lists, Cb=32, S=32, R=8):
+def run_kernel(cands, branch_lists, Cb=32, S=32, R=8, steepest=True):
     B = len(cands)
     cand = np.zeros((B, Cb), np.uint8)
     clen = np.zeros(B, np.int32)
@@ -78,7 +78,7 @@ def run_kernel(cands, branch_lists, Cb=32, S=32, R=8):
             bmask[i, r] = True
     out_c, out_l, score, iters = (np.asarray(x) for x in polish_bubbles(
         cand, clen, branches, blen, bmask,
-        get_subs_matrix("pacbio"), max_iters=64))
+        get_subs_matrix("pacbio"), max_iters=64, steepest=steepest))
     return [list(out_c[i][:out_l[i]]) for i in range(B)], iters
 
 
@@ -131,7 +131,7 @@ def test_polish_vs_oracle(rng):
         branches = [mutate(rng, true, 1) for _ in range(4)]
         cases.append((cand, branches, true))
     outs, _ = run_kernel([c for c, _, _ in cases],
-                         [b for _, b, _ in cases])
+                         [b for _, b, _ in cases], steepest=False)
     for (cand, branches, true), out in zip(cases, outs):
         expect = oracle_polish(cand, branches)
         assert out == expect, (cand, branches)

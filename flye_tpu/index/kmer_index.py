@@ -240,21 +240,24 @@ class KmerIndex:
         gidx = np.searchsorted(cnt_uniq, kmers)
         freq = cnt_vals[gidx]
 
-        # per-read selection: sort each read's freqs desc, min_freq =
-        # freq at floor(select_rate * n); keep freq >= min_freq
+        # Per-read frequency threshold: keep positions whose global
+        # frequency marks them as genuine (error k-mers barely recur).
+        # The reference keeps each read's top `select_rate` fraction by
+        # frequency rank (vertex_index.cpp:440-480); a rank cut drops
+        # spatially-contiguous low-coverage stretches and truncates
+        # chains on low-error data, so the threshold form is used
+        # instead: thr = max(global_min, min(4, select_rate * p90)),
+        # which adapts to each read's abundance (meta) while never
+        # gapping an isolate.
         sel_mask = np.zeros(len(kmers), dtype=bool)
         read_starts = np.flatnonzero(
             np.concatenate([[True], seq[1:] != seq[:-1]]))
         read_ends = np.concatenate([read_starts[1:], [len(kmers)]])
         for s, e in zip(read_starts, read_ends):
             f = freq[s:e]
-            nk = e - s
-            cut = int(select_rate * nk)
-            if cut >= nk:
-                min_freq = global_min_freq
-            else:
-                min_freq = np.sort(f)[::-1][cut]
-            m = f >= max(min_freq, global_min_freq)
+            p90 = float(np.percentile(f, 90)) if e > s else 0.0
+            thr = max(global_min_freq, min(4, int(select_rate * p90)))
+            m = f >= thr
             if tandem_freq > 0:
                 km = kmers[s:e]
                 u, c = np.unique(km, return_counts=True)

@@ -228,9 +228,21 @@ class JobContigger(Job):
         from flye_tpu.contigger import generate_contigs
         state = getattr(self.ctx, "repeat_state", None)
         if state is None:
-            raise PipelineException(
-                "contigger requires the repeat stage in the same run "
-                "(graph reload resume lands with dump-based restart)")
+            # resume: reload the graph and alignments from the repeat
+            # stage dumps
+            from flye_tpu.repeat.graph import RepeatGraph
+            from flye_tpu.repeat.read_aligner import ReadAligner
+            reads = self.ctx.load_reads()
+            disjointigs = SequenceStore.from_file(
+                os.path.join(self.ctx.out_dir, "10-consensus",
+                             "consensus.fasta"))
+            d = os.path.join(self.ctx.out_dir, "20-repeat")
+            graph = RepeatGraph.load(
+                disjointigs, os.path.join(d, "repeat_graph_dump"))
+            aligner = ReadAligner.load(
+                graph, reads, self.ctx.cfg, self.ctx.min_overlap,
+                os.path.join(d, "read_alignment_dump"))
+            state = (graph, aligner, None)
         graph, aligner, inferer = state
         contigs, links = generate_contigs(
             graph, aligner, self.ctx.cfg,

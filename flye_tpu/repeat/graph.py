@@ -135,6 +135,9 @@ class GluePoint:
 class RepeatGraph:
     def __init__(self, asm_store: SequenceStore):
         self.asm = asm_store
+        # sequences beyond this count were spliced in during resolution
+        # (read bridges) and are dumped alongside the graph
+        self.base_seq_count = len(asm_store)
         self.nodes: List[GraphNode] = []
         self.edges: Dict[int, GraphEdge] = {}
         self._next_edge_id = 0
@@ -516,7 +519,14 @@ class RepeatGraph:
     def store(self, path: str) -> None:
         """Reference-compatible text dump
         (reference: repeat_graph.cpp:1085-1292 storeGraph; python mirror
-        flye/repeat_graph/repeat_graph.py)."""
+        flye/repeat_graph/repeat_graph.py). Bridge sequences spliced in
+        during resolution go to <path>_extra.fasta (the reference keeps
+        edge sequences in repeat_graph_edges.fasta)."""
+        if len(self.asm) > self.base_seq_count:
+            from flye_tpu.io.fasta import write_fasta
+            extras = [(self.asm.name(2 * i), self.asm.get(2 * i))
+                      for i in range(self.base_seq_count, len(self.asm))]
+            write_fasta(extras, path + "_extra.fasta")
         with open(path, "w") as f:
             for edge in self.iter_edges():
                 sign = "+" if edge.edge_id % 2 == 0 else "-"
@@ -535,7 +545,13 @@ class RepeatGraph:
 
     @classmethod
     def load(cls, asm_store: SequenceStore, path: str) -> "RepeatGraph":
+        import os
+
+        from flye_tpu.io.fasta import read_seq_file
         graph = cls(asm_store)
+        if os.path.exists(path + "_extra.fasta"):
+            for name, codes in read_seq_file(path + "_extra.fasta"):
+                asm_store.add(name, codes)
         node_map: Dict[int, GraphNode] = {}
 
         def node(nid: int) -> GraphNode:

@@ -195,6 +195,41 @@ class ReadAligner:
 
     # ------------------------------------------------------------------
 
+    @classmethod
+    def load(cls, graph: RepeatGraph, reads: SequenceStore, cfg,
+             min_overlap: int, path: str) -> "ReadAligner":
+        """Reconstruct alignments from a dump written by store()."""
+        aligner = cls(graph, reads, cfg, min_overlap)
+        aligner.alignments = []
+        chain: GraphAlignment = []
+        with open(path) as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                if parts[0] == "Chain":
+                    if chain:
+                        aligner.alignments.append(chain)
+                    chain = []
+                elif parts[0] == "Aln":
+                    signed = parts[1]
+                    eid = (int(signed[1:]) - 1) * 2 + (signed[0] == "-")
+                    edge = graph.edges.get(eid)
+                    if edge is None:
+                        continue
+                    rid = reads.id_by_name(parts[2])
+                    if parts[3] == "-":
+                        rid = SeqId(rid).rc
+                    ov = Overlap(int(rid), -1,
+                                 int(parts[4]), int(parts[5]),
+                                 int(parts[6]), int(parts[7]),
+                                 int(parts[8]), int(parts[9]),
+                                 score=int(parts[10]),
+                                 divergence=float(parts[11]))
+                    chain.append(EdgeAlignment(ov, edge))
+        if chain:
+            aligner.alignments.append(chain)
+        logger.info("Loaded %d alignment chains", len(aligner.alignments))
+        return aligner
+
     def store(self, path: str) -> None:
         """Text dump compatible in spirit with the reference's alignment
         dump (reference: read_aligner.h:32-33; python mirror

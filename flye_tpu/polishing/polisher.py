@@ -108,6 +108,18 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
     for (cb, sb, rb), lst in sorted(items.items()):
         _run_bucket(lst, cb, sb, rb, subs)
 
+    # phase 3: homopolymer + dinucleotide re-estimation (reference:
+    # HomoPolisher / DinucleotideFixer applied per bubble after the
+    # general polisher, src/polishing/bubble_processor.cpp)
+    from flye_tpu.polishing.homopolisher import (fix_dinucleotide_repeats,
+                                                 polish_homopolymers)
+    for b in bubbles:
+        if b.polished is None or not b.branches:
+            continue
+        seq = polish_homopolymers(b.polished, b.branches, platform)
+        seq = fix_dinucleotide_repeats(seq, b.branches)
+        b.polished = seq
+
 
 def polish(drafts: Sequence[Tuple[str, np.ndarray]],
            reads: SequenceStore, platform: str,

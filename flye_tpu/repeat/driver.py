@@ -86,6 +86,10 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
             logger.debug("simplification iteration %d: %d actions",
                          iteration + 1, actions)
         resolver.finalize_graph()
+        # meta mode: detach weak fork branches
+        # (reference: main_repeat.cpp post-loop resolveForks)
+        if "uneven_coverage" in cfg and cfg.uneven_coverage:
+            inferer.resolve_forks()
         keep_haplotypes = ("keep_haplotypes" in cfg and
                            cfg.keep_haplotypes)
         if not keep_haplotypes:

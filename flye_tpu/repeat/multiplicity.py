@@ -106,6 +106,39 @@ class MultiplicityInferer:
             logger.debug("Removed %d unsupported edges", removed)
         return removed
 
+    def resolve_forks(self) -> int:
+        """Detach the weak branch of 1-in-2-out forks when the strong
+        branch carries nearly all coverage (meta mode; reference:
+        multiplicity_inferer.cpp:92-188 resolveForks)."""
+        rate = self.cfg.weak_detach_rate
+        detached = 0
+        for node in list(self.graph.nodes):
+            if len(node.in_edges) != 1 or len(node.out_edges) != 2:
+                continue
+            in_edge = node.in_edges[0]
+            major, minor = sorted(node.out_edges,
+                                  key=lambda e: -e.mean_coverage)
+            if any(e.self_complement or e.is_looped
+                   for e in (in_edge, major, minor)):
+                continue
+            if minor.mean_coverage * rate > major.mean_coverage:
+                continue
+            if in_edge.mean_coverage < major.mean_coverage // 2:
+                continue
+            comp = self.graph.complement_edge(minor)
+            minor.node_left.out_edges.remove(minor)
+            minor.node_left = self.graph.add_node()
+            minor.node_left.out_edges.append(minor)
+            if comp is not minor:
+                comp.node_right.in_edges.remove(comp)
+                comp.node_right = self.graph.add_node()
+                comp.node_right.in_edges.append(comp)
+            detached += 1
+        if detached:
+            logger.debug("[SIMPL] Detached %d weak fork branches",
+                         detached)
+        return detached
+
     def trim_tips(self) -> int:
         """Iterate tip clipping to a fixpoint
         (reference: multiplicity_inferer.h:34-51)."""

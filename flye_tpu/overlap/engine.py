@@ -90,7 +90,12 @@ class OverlapEngine:
         in one device pass. Yields per-sid match tuples."""
         lengths = [query_store.length(s) for s in sids]
         pad = 1 << max(6, (max(lengths) - 1).bit_length())
-        batch, lens = query_store.padded_batch(sids, pad)
+        # fixed row counts keep the number of compiled shapes small
+        rows = next((r for r in (1, 8, 16, 32, 48, 64) if len(sids) <= r),
+                    len(sids))
+        padded_sids = list(sids) + [sids[-1]] * (rows - len(sids))
+        batch, lens = query_store.padded_batch(padded_sids, pad)
+        lens[len(sids):] = 0  # padding rows contribute nothing
         canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
         canon = np.asarray(canon)
         is_fwd = np.asarray(is_fwd)
@@ -266,8 +271,9 @@ class OverlapEngine:
                           _CHAIN_BUCKETS[-1])
             by_bucket.setdefault(bucket, []).append(gi)
         results: List[Optional[tuple]] = [None] * len(groups)
+        t_buckets = (8, 32, 128, 512, 2048)
         for bucket, gids in by_bucket.items():
-            T = len(gids)
+            T = next((t for t in t_buckets if len(gids) <= t), len(gids))
             cur = np.zeros((T, bucket), dtype=np.int32)
             ext = np.zeros((T, bucket), dtype=np.int32)
             nv = np.zeros(T, dtype=np.int32)

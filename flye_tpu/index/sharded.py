@@ -1,0 +1,111 @@
+"""Hash-sharded k-mer index for genomes beyond one device's memory.
+
+The BASELINE plan shards the minimizer index by k-mer hash across a pod
+slice (SURVEY §2.3, §5.7): shard s owns the k-mers with
+splitmix64(kmer) % n_shards == s.  Each shard is an independent
+sorted-array partition built exactly like KmerIndex; on multiple hosts
+each host extracts postings from its read partition and exchanges them
+by shard (all-to-all) before the per-shard sort — the collective path
+exercised by parallel/mesh.py's dryrun.
+
+On one host the shards concatenate into globally-addressable arrays, so
+the overlap engine works unchanged: lookups route to the owning shard's
+key range via searchsorted within that shard.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from flye_tpu.index.kmer_index import KmerIndex
+from flye_tpu.io.seqstore import SequenceStore
+from flye_tpu.ops.kmers import splitmix64
+
+logger = logging.getLogger("flye_tpu")
+
+
+class ShardedKmerIndex(KmerIndex):
+    """KmerIndex partitioned by k-mer hash."""
+
+    def __init__(self, store: SequenceStore, k: int, n_shards: int):
+        super().__init__(store, k)
+        self.n_shards = n_shards
+        # key-range starts of each shard in the concatenated uniq array
+        self.shard_row_base: Optional[np.ndarray] = None
+
+    @staticmethod
+    def shard_of(kmers: np.ndarray, n_shards: int) -> np.ndarray:
+        h = np.asarray(splitmix64(jnp.asarray(kmers)))
+        return (h % np.uint64(n_shards)).astype(np.int64)
+
+    @classmethod
+    def build_minimizers(cls, store: SequenceStore, k: int, w: int,
+                         n_shards: int = 4, min_cov: int = 1,
+                         repeat_kmer_rate: float = 100,
+                         ids: Optional[Sequence[int]] = None
+                         ) -> "ShardedKmerIndex":
+        idx = cls(store, k, n_shards)
+        idx.w = w
+        ids = list(ids) if ids is not None else store.ids()
+        logger.info("Building sharded minimizer index "
+                    "(k=%d, w=%d, %d shards) over %d seqs",
+                    k, w, n_shards, len(ids))
+        kmers, seq, pos, flip = idx._extract_selected(ids, w=w, sample=1)
+        shard = cls.shard_of(kmers, n_shards)
+
+        # per-shard: deterministic sort + grouping (this is the
+        # post-all-to-all step on a multi-host run)
+        parts = []
+        for s in range(n_shards):
+            m = shard == s
+            sk, ss, sp, sf = cls._sort_triples(
+                kmers[m], seq[m], pos[m], flip[m])
+            parts.append((sk, ss, sp, sf))
+
+        # concatenate shards into globally-addressable arrays
+        kmers = np.concatenate([p[0] for p in parts])
+        seq = np.concatenate([p[1] for p in parts])
+        pos = np.concatenate([p[2] for p in parts])
+        flip = np.concatenate([p[3] for p in parts])
+        idx._finalize(kmers, seq, pos, flip, min_cov, repeat_kmer_rate)
+
+        # shard row ranges in the uniq array
+        uniq = np.asarray(idx.uniq_kmers)
+        uniq_shard = cls.shard_of(uniq, n_shards)
+        base = np.zeros(n_shards + 1, dtype=np.int64)
+        for s in range(n_shards):
+            base[s + 1] = base[s] + int((uniq_shard == s).sum())
+        idx.shard_row_base = base
+
+        total_len = sum(store.length(i) for i in ids)
+        total_entries = int(idx.counts.sum()) if len(idx.counts) else 1
+        idx.sample_rate = total_len / max(1, total_entries)
+        logger.debug("Shard sizes: %s",
+                     np.diff(base).tolist())
+        return idx
+
+    def lookup(self, query_kmers: np.ndarray):
+        """Route each query to its owning shard's key range."""
+        if self.num_kmers == 0:
+            z = np.zeros(len(query_kmers), dtype=np.int64)
+            return z, z.astype(bool)
+        q = np.asarray(query_kmers)
+        shard = self.shard_of(q, self.n_shards)
+        uniq = np.asarray(self.uniq_kmers)
+        row = np.zeros(len(q), dtype=np.int64)
+        found = np.zeros(len(q), dtype=bool)
+        for s in range(self.n_shards):
+            m = shard == s
+            if not m.any():
+                continue
+            lo, hi = self.shard_row_base[s], self.shard_row_base[s + 1]
+            local = np.searchsorted(uniq[lo:hi], q[m])
+            local = np.clip(local, 0, max(0, hi - lo - 1))
+            row[m] = lo + local
+            if hi > lo:
+                found[m] = uniq[lo + local] == q[m]
+        return row, found

@@ -12,14 +12,14 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
 from flye_tpu.io.fasta import write_fasta
 from flye_tpu.io.seqstore import SeqId
-from flye_tpu.repeat.graph import GraphEdge, RepeatGraph
+from flye_tpu.repeat.graph import RepeatGraph
 from flye_tpu.repeat.output import (output_dot, output_gfa, path_sequence,
                                     paths_fasta)
 from flye_tpu.repeat.processing import UnbranchingPath, get_unbranching_paths

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flye_tpu.io.seqstore import SequenceStore
-from flye_tpu.ops.kmers import (canonical_kmers, kmer_hashes, minimizer_mask,
+from flye_tpu.ops.kmers import (canonical_kmers, minimizer_mask,
                                 sample_mask, splitmix64)
 
 logger = logging.getLogger("flye_tpu")
@@ -91,8 +91,14 @@ class KmerIndex:
         """Run the device selection kernels and compact to triple arrays
         (canon kmer, seq index, pos, flip)."""
         kmers_l, seq_l, pos_l, flip_l = [], [], [], []
+        row_buckets = (1, 8, 64, 512, 2048, 8192)
         for sids, pad in batched_ids(self.store, ids):
-            batch, lens = self.store.padded_batch(sids, pad)
+            # fixed row counts keep compiled shapes stable across runs
+            rows = next((r for r in row_buckets if len(sids) <= r),
+                        len(sids))
+            padded_sids = list(sids) + [sids[-1]] * (rows - len(sids))
+            batch, lens = self.store.padded_batch(padded_sids, pad)
+            lens[len(sids):] = 0
             canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
             if w > 1:
                 h = jnp.where(valid, splitmix64(canon),
@@ -103,12 +109,13 @@ class KmerIndex:
             sel = np.asarray(sel)
             canon = np.asarray(canon)
             is_fwd = np.asarray(is_fwd)
-            rows, cols = np.nonzero(sel)
-            kmers_l.append(canon[rows, cols])
-            seq_idx = np.asarray([s >> 1 for s in sids], dtype=np.int32)
-            seq_l.append(seq_idx[rows])
+            rsel, cols = np.nonzero(sel)
+            kmers_l.append(canon[rsel, cols])
+            seq_idx = np.asarray([s >> 1 for s in padded_sids],
+                                 dtype=np.int32)
+            seq_l.append(seq_idx[rsel])
             pos_l.append(cols.astype(np.int32))
-            flip_l.append(~is_fwd[rows, cols])
+            flip_l.append(~is_fwd[rsel, cols])
         if not kmers_l:
             z = np.zeros(0, dtype=np.int64)
             return z, z.astype(np.int32), z.astype(np.int32), z.astype(bool)

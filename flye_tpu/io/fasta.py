@@ -13,9 +13,7 @@ at memory bandwidth rather than Python-loop speed.
 from __future__ import annotations
 
 import gzip
-import io
-import os
-from typing import Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

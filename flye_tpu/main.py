@@ -24,7 +24,7 @@ import numpy as np
 
 from flye_tpu.config import Config, PIPELINE, setup_run_params
 from flye_tpu.io.fasta import write_fasta
-from flye_tpu.io.seqstore import SequenceStore, compute_nx
+from flye_tpu.io.seqstore import SequenceStore
 from flye_tpu.utils.logs import configure_logging
 
 logger = logging.getLogger("flye_tpu")

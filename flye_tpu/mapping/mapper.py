@@ -14,7 +14,7 @@ Alignments keep ALL chain anchors for downstream window partitioning.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from flye_tpu.index.kmer_index import KmerIndex, batched_ids
+from flye_tpu.index.kmer_index import KmerIndex
 from flye_tpu.io.seqstore import SeqId, SequenceStore
 from flye_tpu.ops.align import SegmentBatcher, anchored_divergence
 from flye_tpu.ops.chain import backtrack_chains, chain_dp

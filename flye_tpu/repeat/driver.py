@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import List, Optional, Tuple
-
-import numpy as np
+from typing import Optional
 
 from flye_tpu.config import Config
 from flye_tpu.index import KmerIndex

@@ -17,13 +17,12 @@ compute underneath runs on device.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from flye_tpu.io.seqstore import SeqId, SequenceStore
-from flye_tpu.overlap.structs import Overlap
 from flye_tpu.utils.ds import DisjointSet
 
 logger = logging.getLogger("flye_tpu")

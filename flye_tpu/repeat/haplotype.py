@@ -14,9 +14,7 @@ Roundabouts and superbubbles (meta mode, :485, :997) land next round.
 from __future__ import annotations
 
 import logging
-from typing import List
-
-from flye_tpu.repeat.graph import GraphEdge, RepeatGraph
+from flye_tpu.repeat.graph import RepeatGraph
 
 logger = logging.getLogger("flye_tpu")
 

@@ -4,21 +4,22 @@ Behavioral port of MultiplicityInferer essentials
 (reference: src/repeat_graph/multiplicity_inferer.cpp): window-based
 coverage from read-graph alignments (:14-90), the unique-coverage
 threshold (repeat_edge_cov_mult x Q75), unsupported-edge removal (:188)
-and the tip-trimming loop (:524 trimTipsIteration).
+the tip-trimming loop (:524 trimTipsIteration), and weak-fork
+detachment (:92 resolveForks, meta mode).
 
-Not yet ported (tracked for the next round): splitNodes,
-disconnectMinorPaths, resolveForks — they refine metagenome-grade graphs
-and are no-ops on clean isolates.
+Not yet ported (tracked for the next round): splitNodes and
+disconnectMinorPaths — they refine metagenome-grade graphs and are
+no-ops on clean isolates.
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
-from flye_tpu.repeat.graph import GraphEdge, RepeatGraph
+from flye_tpu.repeat.graph import RepeatGraph
 from flye_tpu.repeat.processing import get_unbranching_paths
 
 logger = logging.getLogger("flye_tpu")

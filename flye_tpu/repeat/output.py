@@ -11,13 +11,13 @@ ConsensusGenerator) is a next-round refinement.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Tuple
+from typing import List
 
 import numpy as np
 
 from flye_tpu.io.fasta import codes_to_str, write_fasta
 from flye_tpu.repeat.graph import GraphEdge, RepeatGraph
-from flye_tpu.repeat.processing import UnbranchingPath, get_unbranching_paths
+from flye_tpu.repeat.processing import UnbranchingPath
 
 logger = logging.getLogger("flye_tpu")
 

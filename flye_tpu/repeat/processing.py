@@ -10,9 +10,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import List
 
 from flye_tpu.repeat.graph import GraphEdge, GraphNode, RepeatGraph
 

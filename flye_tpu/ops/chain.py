@@ -122,6 +122,7 @@ def backtrack_chains(score, parent, nvalid, k, max_chains=0):
     """
     import numpy as np
 
+    nvalid = min(int(nvalid), len(score), len(parent))
     score = np.ascontiguousarray(score[:nvalid], dtype=np.int32)
     from flye_tpu import native
     mod = native.get()

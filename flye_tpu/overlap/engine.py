@@ -168,7 +168,7 @@ class OverlapEngine:
 
         # collect chain groups across all queries
         min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
-        groups = []       # (qi, eid, elen, gcur, gext)
+        groups = []       # (qi, eid, elen, gcur, gext, stride)
         query_meta = []   # (sid, cur_len, filtered_pos)
         for qi, (sid, qpos, ext_id, ext_pos, filtered_pos, cur_len) in                 enumerate(per_sid):
             query_meta.append((sid, cur_len, filtered_pos))
@@ -202,11 +202,19 @@ class OverlapEngine:
                 if elen > cur_len:
                     o = np.argsort(gext, kind="stable")
                     gcur, gext = gcur[o], gext[o]
-                groups.append((qi, eid, elen, gcur, gext))
+                # groups beyond the largest DP bucket are stride-
+                # subsampled (not truncated): chains must still span the
+                # whole sequence; the divergence estimate compensates by
+                # the stride factor
+                stride = 1
+                if len(gcur) > _CHAIN_BUCKETS[-1]:
+                    stride = -(-len(gcur) // _CHAIN_BUCKETS[-1])
+                    gcur, gext = gcur[::stride], gext[::stride]
+                groups.append((qi, eid, elen, gcur, gext, stride))
 
         chain_results = self._run_chain_dp(
             [(eid, elen, gcur, gext)
-             for _, eid, elen, gcur, gext in groups]) if groups else []
+             for _, eid, elen, gcur, gext, _ in groups]) if groups else []
 
         # finish per query, sharing one divergence batcher
         results: Dict[int, List[Overlap]] = {sid: [] for sid, _, _ in
@@ -214,7 +222,7 @@ class OverlapEngine:
         div_windows: Dict[int, Dict[int, Overlap]] = {}
         seg_batcher = SegmentBatcher() if self.nucl_alignment else None
         pending = []  # (sid, overlap, finish_fn)
-        for (qi, eid, elen, gcur, gext), (score, parent) in zip(
+        for (qi, eid, elen, gcur, gext, stride), (score, parent) in zip(
                 groups, chain_results):
             sid, cur_len, filtered_pos = query_meta[qi]
             detected = results[sid]
@@ -222,7 +230,7 @@ class OverlapEngine:
                 continue
             ext_ovlps = self._extract_overlaps(
                 sid, cur_len, eid, elen, gcur, gext, score, parent,
-                filtered_pos, force_local)
+                filtered_pos, force_local, stride)
             if not ext_ovlps:
                 continue
             ext_ovlps.sort(key=lambda o: -o.score)
@@ -291,11 +299,15 @@ class OverlapEngine:
         return results
 
     def _extract_overlaps(self, cur_id, cur_len, eid, elen, gcur, gext,
-                          score, parent, filtered_pos, force_local):
+                          score, parent, filtered_pos, force_local,
+                          stride=1):
         """Backtrack chains and apply the overlap sanity tests
         (reference: overlap.cpp:330-427 + overlapTest overlap.cpp:29-69)."""
         k = self.k
-        nvalid = len(gcur)
+        # score/parent come from the bucketed DP: never read past their
+        # width (a longer raw group would otherwise walk the native
+        # backtracker off the end of the buffer)
+        nvalid = min(len(gcur), len(score))
         chains = backtrack_chains(score, parent, nvalid, k)
         out = []
         for first, last, cscore, path in chains:
@@ -334,8 +346,8 @@ class OverlapEngine:
             n_filtered = int(np.searchsorted(filtered_pos, ov.cur_end) -
                              np.searchsorted(filtered_pos, ov.cur_begin))
             norm_len = max(ov.cur_range, ov.ext_range) - n_filtered
-            match_rate = min(1.0, chain_len * self.index.sample_rate /
-                             max(1, norm_len))
+            match_rate = min(1.0, chain_len * stride *
+                             self.index.sample_rate / max(1, norm_len))
             match_rate = max(match_rate, 1e-9)
             ov.divergence = np.log(1 / match_rate) / k
             out.append(ov)

@@ -67,31 +67,42 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
     with stage_timer("graph simplification"):
         inferer = MultiplicityInferer(graph, aligner, cfg)
         inferer.estimate_coverage()
+        inferer.remove_unsupported_edges(only_tips=True)
         resolver = RepeatResolver(graph, reads, aligner, cfg,
                                   inferer.unique_cov_threshold)
         from flye_tpu.repeat.haplotype import HaplotypeResolver
         hap = HaplotypeResolver(graph, cfg)
-        # iterate until fixpoint (reference: main_repeat.cpp:240-270)
+        is_meta = "uneven_coverage" in cfg and cfg.uneven_coverage
+        # iterate until fixpoint (reference: main_repeat.cpp:239-270)
         for iteration in range(10):
             actions = 0
+            actions += inferer.split_nodes()
+            if is_meta:
+                actions += inferer.disconnect_minor_paths()
             actions += inferer.trim_tips()
-            actions += hap.find_heterozygous_bulges()
-            actions += hap.find_heterozygous_loops()
+            # haplotype masking is recomputed from scratch each
+            # iteration and does not count as an action
+            # (reference: main_repeat.cpp:252-257)
+            hap.reset_edges()
+            hap.find_heterozygous_loops()
+            hap.find_heterozygous_bulges()
             resolver.find_repeats()
             actions += resolver.resolve_repeats()
             if actions == 0:
                 break
             logger.debug("simplification iteration %d: %d actions",
                          iteration + 1, actions)
-        resolver.finalize_graph()
         # meta mode: detach weak fork branches
-        # (reference: main_repeat.cpp post-loop resolveForks)
-        if "uneven_coverage" in cfg and cfg.uneven_coverage:
+        # (reference: main_repeat.cpp:272-275 resolveForks)
+        if is_meta:
             inferer.resolve_forks()
         keep_haplotypes = ("keep_haplotypes" in cfg and
                            cfg.keep_haplotypes)
         if not keep_haplotypes:
             hap.collapse_haplotypes()
+        inferer.remove_unsupported_edges(only_tips=True)
+        resolver.find_repeats()
+        resolver.finalize_graph()
 
     if out_dir:
         graph.store(os.path.join(out_dir, "repeat_graph_dump"))

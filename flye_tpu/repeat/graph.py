@@ -174,6 +174,31 @@ class RepeatGraph:
             return edge
         return self.edges[edge.edge_id ^ 1]
 
+    def complement_node(self, node: GraphNode) -> GraphNode:
+        """The node holding the complements of this node's edges
+        (derived from edge complements; the reference keeps an explicit
+        map, reference: repeat_graph.h complementNode)."""
+        for e in node.in_edges:
+            return self.complement_edge(e).node_left
+        for e in node.out_edges:
+            return self.complement_edge(e).node_right
+        return node
+
+    def disconnect_right(self, edge: GraphEdge) -> None:
+        """Detach edge's right end into a fresh node
+        (reference: repeat_graph.h:372-378)."""
+        new_node = self.add_node()
+        edge.node_right.in_edges.remove(edge)
+        edge.node_right = new_node
+        new_node.in_edges.append(edge)
+
+    def disconnect_left(self, edge: GraphEdge) -> None:
+        """(reference: repeat_graph.h:380-386)."""
+        new_node = self.add_node()
+        edge.node_left.out_edges.remove(edge)
+        edge.node_left = new_node
+        new_node.out_edges.append(edge)
+
     def complement_path(self, path: Sequence[GraphEdge]) -> List[GraphEdge]:
         return [self.complement_edge(e) for e in reversed(path)]
 

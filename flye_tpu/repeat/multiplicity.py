@@ -7,9 +7,8 @@ threshold (repeat_edge_cov_mult x Q75), unsupported-edge removal (:188)
 the tip-trimming loop (:524 trimTipsIteration), and weak-fork
 detachment (:92 resolveForks, meta mode).
 
-Not yet ported (tracked for the next round): splitNodes and
-disconnectMinorPaths — they refine metagenome-grade graphs and are
-no-ops on clean isolates.
+Also ports splitNodes (:313, read-connectivity node splitting for
+chimeric junctions) and disconnectMinorPaths (:235, meta mode).
 """
 
 from __future__ import annotations
@@ -23,6 +22,25 @@ from flye_tpu.repeat.graph import RepeatGraph
 from flye_tpu.repeat.processing import get_unbranching_paths
 
 logger = logging.getLogger("flye_tpu")
+
+
+def _is_right_terminal(edge) -> bool:
+    """True if nothing (but loops) continues right of this edge
+    (reference: repeat_graph.cpp:51-58 isRightTerminal)."""
+    return all(e.is_looped for e in edge.node_right.out_edges)
+
+
+def _switch_node(edge, new_node, is_input: bool) -> None:
+    """Re-home one endpoint of an edge onto new_node
+    (reference: multiplicity_inferer.cpp:404-421 switchNode)."""
+    if is_input:
+        edge.node_right.in_edges.remove(edge)
+        edge.node_right = new_node
+        new_node.in_edges.append(edge)
+    else:
+        edge.node_left.out_edges.remove(edge)
+        edge.node_left = new_node
+        new_node.out_edges.append(edge)
 
 
 class MultiplicityInferer:
@@ -89,23 +107,158 @@ class MultiplicityInferer:
 
     # ------------------------------------------------------------------
 
-    def remove_unsupported_edges(self) -> int:
-        """Drop edges with coverage below mean / graph_cov_drop_rate
-        (reference: multiplicity_inferer.cpp:188)."""
-        threshold = self.mean_coverage / self.cfg.graph_cov_drop_rate
-        removed = 0
-        for edge in list(self.graph.iter_edges()):
-            if edge.edge_id not in self.graph.edges:
+    def remove_unsupported_edges(self, only_tips: bool = True) -> int:
+        """Drop unbranching paths with coverage below the read-support
+        cutoff (mean / graph_cov_drop_rate, floored at
+        min_read_cov_cutoff; just the floor in meta mode)
+        (reference: multiplicity_inferer.cpp:188-233)."""
+        min_cutoff = int(round(self.cfg.min_read_cov_cutoff))
+        if "uneven_coverage" in self.cfg and self.cfg.uneven_coverage:
+            threshold = min_cutoff
+        else:
+            threshold = max(min_cutoff, int(round(
+                self.mean_coverage / self.cfg.graph_cov_drop_rate)))
+        logger.debug("Read coverage cutoff: %d", threshold)
+
+        to_remove = {}
+        removed_paths = 0
+        for p in get_unbranching_paths(self.graph):
+            if p.id % 2:
                 continue
-            if edge.mean_coverage < threshold:
-                comp = self.graph.complement_edge(edge)
+            if only_tips and not _is_right_terminal(p.path[-1]):
+                continue
+            if p.mean_coverage < threshold:
+                removed_paths += 1
+                for e in p.path:
+                    to_remove[e.edge_id] = e
+                    comp = self.graph.complement_edge(e)
+                    to_remove[comp.edge_id] = comp
+        for edge in to_remove.values():
+            if edge.edge_id in self.graph.edges:
                 self.graph.remove_edge(edge)
-                if comp is not edge and comp.edge_id in self.graph.edges:
-                    self.graph.remove_edge(comp)
-                removed += 1
-        if removed:
-            logger.debug("Removed %d unsupported edges", removed)
-        return removed
+        if removed_paths:
+            logger.debug("[SIMPL] Removed %d paths with low coverage",
+                         removed_paths)
+        self.aligner.update_alignments()
+        return len(to_remove) // 2
+
+    def split_nodes(self) -> int:
+        """Split nodes whose in/out edges form multiple read-connectivity
+        clusters — separates chimeric junctions
+        (reference: multiplicity_inferer.cpp:313-445 splitNodes)."""
+        min_jct_support = 1
+        support: Dict[int, Dict[int, int]] = {}
+        for chain in self.aligner.alignments:
+            for i in range(len(chain) - 1):
+                a, b = chain[i].edge, chain[i + 1].edge
+                if a.edge_id == b.edge_id ^ 1:
+                    continue
+                support.setdefault(a.edge_id, {})
+                support[a.edge_id][b.edge_id] = \
+                    support[a.edge_id].get(b.edge_id, 0) + 1
+
+        num_split = 0
+        used_nodes = set()
+        for node in list(self.graph.nodes):
+            if len(node.in_edges) < 2 or len(node.out_edges) < 2:
+                continue
+            if id(node) in used_nodes:
+                continue
+            comp_node = self.graph.complement_node(node)
+            used_nodes.add(id(comp_node))
+            self_compl = comp_node is node
+
+            # union-find over (edge_id, is_input) elements
+            elems = ([(e.edge_id, True) for e in node.in_edges] +
+                     [(e.edge_id, False) for e in node.out_edges])
+            parent = {x: x for x in elems}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            out_ids = {e.edge_id for e in node.out_edges}
+            for in_e in node.in_edges:
+                for out_id, cnt in support.get(in_e.edge_id, {}).items():
+                    if cnt >= min_jct_support and out_id in out_ids:
+                        ra = find((in_e.edge_id, True))
+                        rb = find((out_id, False))
+                        if ra != rb:
+                            parent[ra] = rb
+
+            clusters: Dict[tuple, list] = {}
+            for x in elems:
+                clusters.setdefault(find(x), []).append(x)
+            if len(clusters) < 2:
+                continue
+            num_split += 1
+            logger.debug("Splitting node with %d edges into %d clusters",
+                         len(elems), len(clusters))
+            for cl in clusters.values():
+                new_node = self.graph.add_node()
+                new_comp = self.graph.add_node()
+                for edge_id, is_input in cl:
+                    edge = self.graph.edges[edge_id]
+                    _switch_node(edge, new_node, is_input)
+                    if not self_compl:
+                        comp_e = self.graph.complement_edge(edge)
+                        _switch_node(comp_e, new_comp, not is_input)
+        if num_split:
+            logger.debug("[SIMPL] Split %d nodes", num_split)
+            self.aligner.update_alignments()
+        return num_split
+
+    def disconnect_minor_paths(self) -> int:
+        """Detach short paths whose endpoint junctions are dominated by
+        much deeper edges (meta mode; reference:
+        multiplicity_inferer.cpp:235-306 disconnectMinorPaths)."""
+        rate = self.cfg.weak_detach_rate
+        max_len = 50000
+
+        def node_degree(node) -> int:
+            covs = [e.mean_coverage for e in node.in_edges
+                    if not e.is_looped]
+            covs += [e.mean_coverage for e in node.out_edges
+                     if not e.is_looped]
+            if len(covs) < 3:
+                return 0
+            return int(np.median(covs))
+
+        paths = get_unbranching_paths(self.graph)
+        to_remove = set()
+        for p in paths:
+            if (p.id % 2 or
+                    p.node_left() is p.node_right() or
+                    p.path[0].self_complement or
+                    p.length > max_len):
+                continue
+            if (not p.node_left().in_edges or
+                    not p.node_right().out_edges):
+                continue  # already detached or tip
+            weak_left = (node_degree(p.node_left()) >
+                         p.mean_coverage * rate)
+            weak_right = (node_degree(p.node_right()) >
+                          p.mean_coverage * rate)
+            if weak_left and weak_right:
+                to_remove.add(p.id)
+
+        n = 0
+        for p in paths:
+            if p.id not in to_remove:
+                continue
+            g = self.graph
+            g.disconnect_left(p.path[0])
+            g.disconnect_left(g.complement_edge(p.path[-1]))
+            g.disconnect_right(p.path[-1])
+            g.disconnect_right(g.complement_edge(p.path[0]))
+            n += 1
+            logger.debug("Fragile path: %s", p.edges_str())
+        if n:
+            logger.debug("[SIMPL] Disconnected %d minor paths", n)
+            self.aligner.update_alignments()
+        return n
 
     def resolve_forks(self) -> int:
         """Detach the weak branch of 1-in-2-out forks when the strong

@@ -119,6 +119,29 @@ class ReadAligner:
         logger.info("Aligned %d reads, total alignment length %d",
                     n_aligned, total_aln_len)
 
+    def update_alignments(self) -> None:
+        """Re-sync alignments with the (edited) graph: drop alignments
+        to deleted edges and split chains at broken junctions
+        (reference: read_aligner.cpp:295-319 updateAlignments)."""
+        new_alignments: List[GraphAlignment] = []
+        edges = self.graph.edges
+        for aln in self.alignments:
+            cur: GraphAlignment = []
+            for i in range(len(aln) - 1):
+                if edges.get(aln[i].edge.edge_id) is not aln[i].edge:
+                    continue
+                cur.append(aln[i])
+                nxt = aln[i + 1]
+                if (edges.get(nxt.edge.edge_id) is not nxt.edge or
+                        aln[i].edge.node_right is not nxt.edge.node_left):
+                    new_alignments.append(cur)
+                    cur = []
+            if edges.get(aln[-1].edge.edge_id) is aln[-1].edge:
+                cur.append(aln[-1])
+            if cur:
+                new_alignments.append(cur)
+        self.alignments = new_alignments
+
     def _chain_divergence(self, chain: GraphAlignment) -> float:
         divs = [a.overlap.divergence for a in chain]
         return float(np.mean(divs)) if divs else 1.0

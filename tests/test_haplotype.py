@@ -46,8 +46,8 @@ def test_find_and_collapse_bulge():
     hap = HaplotypeResolver(g, cfg)
     n = hap.find_heterozygous_bulges()
     assert n == 1
-    assert br_b.alt_haplotype          # minor branch masked
-    assert not br_a.alt_haplotype
+    # BOTH sides masked (reference behavior); groups assigned
+    assert br_b.alt_haplotype and br_a.alt_haplotype
     assert g.complement_edge(br_b).alt_haplotype
     assert br_b.alt_group_id >= 0
     # flanking edges linked
@@ -55,8 +55,32 @@ def test_find_and_collapse_bulge():
 
     collapsed = hap.collapse_haplotypes()
     assert collapsed == 1
-    assert br_b.edge_id not in g.edges
+    # no sequence is deleted: both branches stay in the graph as a
+    # separated alt component
+    assert br_b.edge_id in g.edges
     assert br_a.edge_id in g.edges
+    # the flanks are rerouted through a new bridge edge that carries
+    # the lower-coverage branch's sequence (1050bp here)
+    e_in, e_out = g.edges[0], g.edges[6]
+    assert len(e_in.node_right.out_edges) == 1
+    bridge = e_in.node_right.out_edges[0]
+    assert bridge is not br_a and bridge is not br_b
+    assert bridge.length() == 1050
+    assert bridge.node_right.out_edges == [e_out]
+    # branches no longer reachable from the entrance
+    assert br_a.node_left is not e_in.node_right
+    # complement strand mirrored: comp(out) -> comp bridge -> comp(in)
+    c_in = g.complement_edge(e_out)
+    c_out = g.complement_edge(e_in)
+    assert len(c_in.node_right.out_edges) == 1
+    c_bridge = c_in.node_right.out_edges[0]
+    assert c_bridge.length() == 1050
+    assert c_bridge.node_right.out_edges == [c_out]
+    assert c_bridge.edge_id == bridge.edge_id ^ 1
+    # reset clears masking state
+    hap.reset_edges()
+    assert not br_a.alt_haplotype and not br_b.alt_haplotype
+    assert e_in.right_link is None
 
 
 def test_keep_haplotypes_flag():

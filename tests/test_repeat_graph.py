@@ -109,3 +109,101 @@ def test_graph_dump_roundtrip(tmp_path):
     assert g2.edges[0].mean_coverage == 7
     assert g2.edges[0].seq_segments[0].start == 10
     assert g2.edges[1].seq_segments[0].orig_seq_id == 1
+
+
+def _mk_edge_pair(g, n1, n2, n1c, n2c, base_id, cov=0):
+    from flye_tpu.repeat.graph import GraphEdge
+    e = GraphEdge(n1, n2, base_id)
+    e.mean_coverage = cov
+    g.add_edge(e)
+    ce = GraphEdge(n2c, n1c, base_id ^ 1)
+    ce.mean_coverage = cov
+    g.add_edge(ce)
+    return e, ce
+
+
+class _FakeAligner:
+    def __init__(self, graph, alignments):
+        self.graph = graph
+        self.alignments = alignments
+
+    def update_alignments(self):
+        from flye_tpu.repeat.read_aligner import ReadAligner
+        ReadAligner.update_alignments(self)
+
+
+def test_split_nodes_chimeric_junction():
+    """A 2-in/2-out node whose reads only connect A->C and B->D must
+    split into two nodes (reference splitNodes behavior)."""
+    from flye_tpu.repeat.graph import RepeatGraph
+    from flye_tpu.repeat.multiplicity import MultiplicityInferer
+    from flye_tpu.repeat.read_aligner import EdgeAlignment
+
+    store = SequenceStore()
+    g = RepeatGraph(store)
+    a1, b1, mid, c2, d2 = (g.add_node() for _ in range(5))
+    a1c, b1c, midc, c2c, d2c = (g.add_node() for _ in range(5))
+    A, Ac = _mk_edge_pair(g, a1, mid, a1c, midc, 0)
+    B, Bc = _mk_edge_pair(g, b1, mid, b1c, midc, 2)
+    C, Cc = _mk_edge_pair(g, mid, c2, midc, c2c, 4)
+    D, Dc = _mk_edge_pair(g, mid, d2, midc, d2c, 6)
+
+    chains = [
+        [EdgeAlignment(None, A), EdgeAlignment(None, C)],
+        [EdgeAlignment(None, Cc), EdgeAlignment(None, Ac)],
+        [EdgeAlignment(None, B), EdgeAlignment(None, D)],
+        [EdgeAlignment(None, Dc), EdgeAlignment(None, Bc)],
+    ]
+    aligner = _FakeAligner(g, chains)
+    cfg = Config("corrected", min_overlap=2000)
+    inf = MultiplicityInferer(g, aligner, cfg)
+
+    assert inf.split_nodes() == 1
+    assert A.node_right is C.node_left
+    assert B.node_right is D.node_left
+    assert A.node_right is not B.node_right
+    # complements mirrored
+    assert Cc.node_right is Ac.node_left
+    assert Dc.node_right is Bc.node_left
+    assert Cc.node_right is not Dc.node_right
+    # alignments still valid chains after the split
+    assert len(aligner.alignments) == 4
+    # second call is a no-op
+    assert inf.split_nodes() == 0
+
+
+def test_disconnect_minor_paths_detaches_weak_path():
+    from flye_tpu.repeat.graph import RepeatGraph
+    from flye_tpu.repeat.multiplicity import MultiplicityInferer
+
+    store = SequenceStore()
+    g = RepeatGraph(store)
+    nl, nr = g.add_node(), g.add_node()
+    nlc, nrc = g.add_node(), g.add_node()
+    outer = [g.add_node() for _ in range(8)]
+    outerc = [g.add_node() for _ in range(8)]
+    # deep edges around both junctions (cov 30)
+    _mk_edge_pair(g, outer[0], nl, outerc[0], nlc, 0, cov=30)
+    _mk_edge_pair(g, outer[1], nl, outerc[1], nlc, 2, cov=30)
+    _mk_edge_pair(g, nl, outer[2], nlc, outerc[2], 4, cov=30)
+    _mk_edge_pair(g, nr, outer[3], nrc, outerc[3], 6, cov=30)
+    _mk_edge_pair(g, nr, outer[4], nrc, outerc[4], 8, cov=30)
+    _mk_edge_pair(g, outer[5], nr, outerc[5], nrc, 10, cov=30)
+    # the weak path in between (cov 2)
+    W, Wc = _mk_edge_pair(g, nl, nr, nlc, nrc, 12, cov=2)
+
+    aligner = _FakeAligner(g, [])
+    cfg = Config("corrected", min_overlap=2000)
+    inf = MultiplicityInferer(g, aligner, cfg)
+
+    assert inf.disconnect_minor_paths() == 1
+    # W fully detached: its endpoints are fresh degree-1 nodes
+    assert len(W.node_left.in_edges) == 0
+    assert W.node_left.out_edges == [W]
+    assert len(W.node_right.out_edges) == 0
+    assert W.node_right.in_edges == [W]
+    assert Wc.node_left.out_edges == [Wc]
+    assert Wc.node_right.in_edges == [Wc]
+    # deep junctions no longer see W
+    assert W not in nl.out_edges and Wc not in nrc.out_edges
+    assert inf.disconnect_minor_paths() == 0

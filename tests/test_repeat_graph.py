@@ -207,3 +207,62 @@ def test_disconnect_minor_paths_detaches_weak_path():
     # deep junctions no longer see W
     assert W not in nl.out_edges and Wc not in nrc.out_edges
     assert inf.disconnect_minor_paths() == 0
+
+
+def test_contig_extension_into_repeat():
+    """A unique path flanked by an unresolved repeat edge is extended
+    by the longest spanning read (reference generateContigs behavior),
+    and the absorbed repeat is not emitted as its own contig."""
+    from flye_tpu.contigger.extender import generate_contigs
+    from flye_tpu.repeat.graph import EdgeSequence, RepeatGraph
+    from flye_tpu.repeat.read_aligner import EdgeAlignment
+    from flye_tpu.overlap.structs import Overlap
+
+    rng = np.random.default_rng(11)
+    uniq = rng.integers(0, 4, 8000, dtype=np.uint8)
+    rep = rng.integers(0, 4, 3000, dtype=np.uint8)
+
+    store = SequenceStore()
+    store.add("d", np.concatenate([uniq, rep]))
+    g = RepeatGraph(store)
+    n = [g.add_node() for _ in range(8)]
+    U, Uc = _mk_edge_pair(g, n[0], n[1], n[2], n[3], 0, cov=30)
+    U.seq_segments.append(EdgeSequence(0, 11000, 0, 8000))
+    Uc.seq_segments.append(EdgeSequence(0, 11000, 0, 8000).complement())
+    R, Rc = _mk_edge_pair(g, n[1], n[4], n[5], n[2], 2, cov=60)
+    R.repetitive = Rc.repetitive = True
+    R.seq_segments.append(EdgeSequence(0, 11000, 8000, 11000))
+    Rc.seq_segments.append(EdgeSequence(0, 11000, 8000, 11000).complement())
+    # a second exit from the repeat so R is not a trivial dead end
+    X, Xc = _mk_edge_pair(g, n[4], n[6], n[7], n[5], 4, cov=30)
+    # a second entrance into n1 so U and R stay separate unbranching
+    # paths (otherwise n1 is 1-in-1-out and they merge)
+    m1, m2 = g.add_node(), g.add_node()
+    W, Wc = _mk_edge_pair(g, m1, n[1], n[2], m2, 6, cov=30)
+
+    reads = SequenceStore()
+    # read covers last 2kb of U and all of R
+    read_codes = np.concatenate([uniq[6000:], rep])
+    rid = reads.add("spanning_read", read_codes)
+
+    class A:
+        pass
+    aligner = A()
+    aligner.reads = reads
+    ov_u = Overlap(int(rid), 0, 0, 2000, len(read_codes), 6000, 8000, 8000)
+    ov_r = Overlap(int(rid), 2, 2000, 5000, len(read_codes), 0, 3000, 3000)
+    aligner.alignments = [[EdgeAlignment(ov_u, U), EdgeAlignment(ov_r, R)]]
+
+    cfg = Config("raw", min_overlap=1000)
+    contigs, _links = generate_contigs(g, aligner, cfg)
+    by_path = {c.graph_path: c for c in contigs}
+    # the unique contig was extended through the repeat edge
+    ext = [c for c in contigs if c.graph_path in ("1,2", "1,-2", "1,2,",)]
+    assert any(c.graph_path.startswith("1,") and "2" in c.graph_path
+               for c in contigs), by_path.keys()
+    main = next(c for c in contigs if c.graph_path.startswith("1,"))
+    # core (8000) + read extension (3000 of repeat)
+    assert main.length == 11000
+    assert np.array_equal(main.sequence[8000:], rep)
+    # absorbed repeat not emitted separately
+    assert not any(c.repetitive for c in contigs)

@@ -88,6 +88,75 @@ class ShardedKmerIndex(KmerIndex):
                      np.diff(base).tolist())
         return idx
 
+    @classmethod
+    def build_minimizers_mesh(cls, store: SequenceStore, k: int, w: int,
+                              mesh, min_cov: int = 1,
+                              repeat_kmer_rate: float = 100,
+                              ids: Optional[Sequence[int]] = None,
+                              cap_slack: float = 2.0
+                              ) -> "ShardedKmerIndex":
+        """Device-mesh build: postings route to their owning shard via
+        an all-to-all over the mesh's 'data' axis, each shard sorts its
+        partition locally (the multi-host path of SURVEY §2.3 — the
+        collective replacing concurrent-map inserts of
+        vertex_index.cpp:389-483).  Result is identical to the host
+        shard build with n_shards = mesh devices."""
+        from flye_tpu.parallel.mesh import (SENTINEL,
+                                            posting_exchange_step)
+
+        n_dev = mesh.shape["data"]
+        idx = cls(store, k, n_dev)
+        idx.w = w
+        ids = list(ids) if ids is not None else store.ids()
+        logger.info("Building mesh-sharded minimizer index "
+                    "(k=%d, w=%d, %d devices) over %d seqs",
+                    k, w, n_dev, len(ids))
+        kmers, seq, pos, flip = idx._extract_selected(ids, w=w, sample=1)
+        payload = ((seq.astype(np.int64) << 33)
+                   | (pos.astype(np.int64) << 1)
+                   | flip.astype(np.int64))
+
+        n_per_dev = -(-max(1, len(kmers)) // n_dev)
+        cap = int(n_per_dev / n_dev * cap_slack) + 16
+        fn, prepare = posting_exchange_step(mesh, n_per_dev, cap)
+        gk, gp = prepare(kmers.astype(np.uint64), payload)
+        sk, sp, n_dropped, n_recv = fn(gk, gp)
+        sk = np.asarray(sk)
+        sp = np.asarray(sp)
+        n_recv = np.asarray(n_recv)
+        dropped = int(np.asarray(n_dropped).sum())
+        if dropped:
+            logger.warning("posting exchange dropped %d postings "
+                           "(capacity %d/pair); increase cap_slack",
+                           dropped, cap)
+
+        # per-shard sorted partitions, sentinels trail after the sort
+        parts_k, parts_p = [], []
+        for d in range(n_dev):
+            m = int(n_recv[d])
+            parts_k.append(sk[d, :m])
+            parts_p.append(sp[d, :m])
+        akmers = np.concatenate(parts_k).astype(np.int64)
+        apayload = np.concatenate(parts_p)
+        aseq = (apayload >> 33).astype(np.int32)
+        apos = ((apayload >> 1) & 0xFFFFFFFF).astype(np.int32)
+        aflip = (apayload & 1).astype(bool)
+        idx._finalize(akmers, aseq, apos, aflip, min_cov,
+                      repeat_kmer_rate)
+
+        uniq = np.asarray(idx.uniq_kmers)
+        uniq_shard = cls.shard_of(uniq, n_dev)
+        base = np.zeros(n_dev + 1, dtype=np.int64)
+        for s in range(n_dev):
+            base[s + 1] = base[s] + int((uniq_shard == s).sum())
+        idx.shard_row_base = base
+
+        total_len = sum(store.length(i) for i in ids)
+        total_entries = int(idx.counts.sum()) if len(idx.counts) else 1
+        idx.sample_rate = total_len / max(1, total_entries)
+        logger.debug("Mesh shard sizes: %s", np.diff(base).tolist())
+        return idx
+
     def lookup(self, query_kmers: np.ndarray):
         """Route each query to its owning shard's key range."""
         if self.num_kmers == 0:

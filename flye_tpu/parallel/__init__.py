@@ -1,1 +1,2 @@
-from flye_tpu.parallel.mesh import make_mesh, sharded_pipeline_step
+from flye_tpu.parallel.mesh import (make_mesh, posting_exchange_step,
+                                    sharded_pipeline_step)

@@ -66,6 +66,87 @@ def _local_step(codes, lengths, cur, ext, nmatch, k: int, w: int,
     return hist, score, parent, n_sel
 
 
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def posting_exchange_step(mesh: Mesh, n_per_dev: int, cap: int):
+    """Build the jitted all-to-all posting exchange for the hash-sharded
+    index: each device extracts (kmer, payload) postings from its local
+    read partition and routes every posting to the device owning
+    hash(kmer) % n_dev; each device then sorts its received shard.
+
+    This is the multi-host analog of the reference's concurrent-map
+    index insert (reference: vertex_index.cpp:389-483 — threads insert
+    into a shared cuckoo map; here shards exchange postings over ICI and
+    each sorts locally, keeping the build deterministic).
+
+    Inputs (global, sharded over 'data'):
+      kmers   [n_dev * n_per_dev] uint64, SENTINEL = empty padding
+      payload [n_dev * n_per_dev] int64 (packed seq/pos/flip)
+    Outputs:
+      sorted received kmers   [n_dev * n_dev * cap] (P('data')),
+      sorted received payload [same],
+      n_dropped per device [n_dev] (postings beyond cap capacity),
+      n_recv per device [n_dev].
+    """
+    from flye_tpu.ops.kmers import splitmix64
+
+    n_dev = mesh.shape["data"]
+
+    def local(kmers, payload):
+        kmers = kmers.reshape(-1)
+        payload = payload.reshape(-1)
+        valid = kmers != SENTINEL
+        h = splitmix64(kmers)
+        dest = jnp.where(valid,
+                         (h % jnp.uint64(n_dev)).astype(jnp.int32),
+                         jnp.int32(n_dev))
+        # slot = rank of this posting within its destination group
+        oh = jax.nn.one_hot(dest, n_dev + 1, dtype=jnp.int32)
+        slot = ((jnp.cumsum(oh, axis=0) - oh) * oh).sum(axis=1)
+        send_k = jnp.full((n_dev, cap), SENTINEL,
+                          dtype=jnp.uint64).at[
+            dest, slot].set(kmers, mode="drop")
+        send_p = jnp.zeros((n_dev, cap), jnp.int64).at[
+            dest, slot].set(payload, mode="drop")
+        kept = ((dest < n_dev) & (slot < cap)).sum()
+        n_dropped = valid.sum() - kept
+
+        recv_k = jax.lax.all_to_all(send_k, "data", split_axis=0,
+                                    concat_axis=0, tiled=True)
+        recv_p = jax.lax.all_to_all(send_p, "data", split_axis=0,
+                                    concat_axis=0, tiled=True)
+        sk, sp = jax.lax.sort((recv_k.reshape(-1), recv_p.reshape(-1)),
+                              num_keys=2)
+        n_recv = (sk != SENTINEL).sum()
+        return (sk[None], sp[None],
+                n_dropped.astype(jnp.int32)[None],
+                n_recv.astype(jnp.int32)[None])
+
+    spec = P("data")
+    fn = jax.jit(
+        jax.shard_map(local, mesh=mesh,
+                      in_specs=(spec, spec),
+                      out_specs=(spec, spec, spec, spec),
+                      check_vma=False))
+
+    def prepare(kmers: np.ndarray, payload: np.ndarray):
+        """Pad host posting arrays to the sharded global shape."""
+        n = len(kmers)
+        total = n_dev * n_per_dev
+        if n > total:
+            raise ValueError(f"{n} postings > capacity {total}")
+        pk = np.full(total, SENTINEL, dtype=np.uint64)
+        pp = np.zeros(total, dtype=np.int64)
+        pk[:n] = kmers
+        pp[:n] = payload
+        sharding = NamedSharding(mesh, spec)
+        return (jax.device_put(pk, sharding),
+                jax.device_put(pp, sharding))
+
+    return fn, prepare
+
+
 def sharded_pipeline_step(mesh: Mesh, k: int = 15, w: int = 5,
                           max_jump: int = 1500, lookback: int = 64):
     """Build a jitted, mesh-sharded pipeline step.

@@ -68,11 +68,14 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
         inferer = MultiplicityInferer(graph, aligner, cfg)
         inferer.estimate_coverage()
         inferer.remove_unsupported_edges(only_tips=True)
-        resolver = RepeatResolver(graph, reads, aligner, cfg,
-                                  inferer.unique_cov_threshold)
+        resolver = RepeatResolver(graph, reads, aligner, cfg, inferer)
         from flye_tpu.repeat.haplotype import HaplotypeResolver
-        hap = HaplotypeResolver(graph, cfg)
+        hap = HaplotypeResolver(graph, cfg, aligner=aligner, reads=reads)
         is_meta = "uneven_coverage" in cfg and cfg.uneven_coverage
+        if is_meta:
+            # (reference: main_repeat.cpp:231-239)
+            resolver.find_repeats()
+            resolver.resolve_simple_repeats()
         # iterate until fixpoint (reference: main_repeat.cpp:239-270)
         for iteration in range(10):
             actions = 0
@@ -86,6 +89,11 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
             hap.reset_edges()
             hap.find_heterozygous_loops()
             hap.find_heterozygous_bulges()
+            if is_meta:
+                # complex variation masking (reference:
+                # main_repeat.cpp:258-260)
+                hap.find_roundabouts()
+                hap.find_superbubbles()
             resolver.find_repeats()
             actions += resolver.resolve_repeats()
             if actions == 0:
@@ -100,6 +108,7 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
                            cfg.keep_haplotypes)
         if not keep_haplotypes:
             hap.collapse_haplotypes()
+            resolver.resolve_simple_repeats()
         inferer.remove_unsupported_edges(only_tips=True)
         resolver.find_repeats()
         resolver.finalize_graph()

@@ -169,6 +169,27 @@ class RepeatGraph:
         edge.node_right.in_edges.remove(edge)
         del self.edges[edge.edge_id]
 
+    def remove_node(self, node: GraphNode) -> None:
+        """Remove a node together with all its edges
+        (reference: repeat_graph.h:333-357 removeNode)."""
+        to_remove = set()
+        for edge in node.out_edges:
+            if edge.node_right is not node:
+                edge.node_right.in_edges.remove(edge)
+            to_remove.add(edge.edge_id)
+        for edge in node.in_edges:
+            if edge.node_left is not node:
+                edge.node_left.out_edges.remove(edge)
+            to_remove.add(edge.edge_id)
+        node.out_edges.clear()
+        node.in_edges.clear()
+        for eid in to_remove:
+            self.edges.pop(eid, None)
+        try:
+            self.nodes.remove(node)
+        except ValueError:
+            pass
+
     def complement_edge(self, edge: GraphEdge) -> GraphEdge:
         if edge.self_complement:
             return edge
@@ -375,6 +396,12 @@ class RepeatGraph:
                 for i, gp in enumerate(fwd):
                     rev[len(fwd) - i - 1].position = slen - gp.position - 1
 
+        # propagate gluepoints through covering overlaps until every
+        # point projects onto a point on each overlapping sequence
+        # (reference: repeat_graph.cpp:429-566 checkGluepointProjections)
+        self._check_gluepoint_projections(overlaps_by_seq, max_sep,
+                                          next_point)
+
         # contig endpoints (reference: repeat_graph.cpp:395-419)
         max_tip = min_overlap
         for sid in self.asm.ids():
@@ -395,6 +422,99 @@ class RepeatGraph:
 
         n = sum(len(v) for v in self.glue_points.values())
         logger.debug("Created %d gluepoints", n)
+
+    def _check_gluepoint_projections(self, overlaps_by_seq, max_sep: int,
+                                     next_point) -> None:
+        """Fixpoint pass: every gluepoint must have a counterpart within
+        max_sep on every sequence whose overlap covers it — merge ids
+        when a counterpart exists, add a projected point when it
+        doesn't, mirroring on the complement strand
+        (reference: repeat_graph.cpp:429-566)."""
+        import bisect
+
+        for _ in range(100):
+            added: Dict[int, List[GluePoint]] = {}
+            merge_ds = DisjointSet()
+
+            def union_pts(a: int, b: int) -> None:
+                merge_ds.add(a)
+                merge_ds.add(b)
+                merge_ds.union(a, b)
+
+            for sid in self.asm.ids():
+                gps = self.glue_points.get(sid)
+                if not gps:
+                    continue
+                rc_gps = self.glue_points[SeqId(sid).rc]
+                for i, pt in enumerate(gps):
+                    pt_compl = rc_gps[len(gps) - i - 1]
+                    for o in self._covering(overlaps_by_seq, sid,
+                                            pt.position - 1,
+                                            pt.position + 1):
+                        if not (o.cur_begin <= pt.position <= o.cur_end):
+                            continue
+                        try:
+                            proj = o.project(pt.position)
+                        except ValueError:
+                            continue
+                        ext_pts = self.glue_points.get(o.ext_id, [])
+                        ext_rc = self.glue_points.get(
+                            SeqId(o.ext_id).rc, [])
+                        keys = [g.position for g in ext_pts]
+                        lo = bisect.bisect_left(keys, proj - max_sep)
+                        hi = bisect.bisect_left(keys, proj + max_sep)
+                        valid = False
+                        for j in range(lo, hi):
+                            if abs(ext_pts[j].position - proj) > max_sep:
+                                continue
+                            if pt.point_id != ext_pts[j].point_id:
+                                union_pts(pt.point_id,
+                                          ext_pts[j].point_id)
+                                comp_j = ext_rc[len(ext_pts) - j - 1]
+                                union_pts(pt_compl.point_id,
+                                          comp_j.point_id)
+                            valid = True
+                        if not valid:
+                            slen = self.asm.length(o.ext_id)
+                            proj = max(0, min(proj, slen - 1))
+                            added.setdefault(o.ext_id, []).append(
+                                GluePoint(pt.point_id, o.ext_id, proj))
+                            added.setdefault(
+                                SeqId(o.ext_id).rc, []).append(
+                                GluePoint(pt_compl.point_id,
+                                          SeqId(o.ext_id).rc,
+                                          slen - proj - 1))
+
+            total_added = 0
+            for sid2 in sorted(added):
+                if sid2 % 2 == 1:
+                    continue
+                pts = added[sid2]
+                comp_pts = added[SeqId(sid2).rc]
+                order = sorted(range(len(pts)),
+                               key=lambda x: pts[x].position)
+                last = None
+                for pidx in order:
+                    pt = pts[pidx]
+                    cpt = comp_pts[pidx]
+                    if last is None or abs(pt.position - last) > max_sep:
+                        self.glue_points.setdefault(sid2, []).append(pt)
+                        self.glue_points.setdefault(
+                            SeqId(sid2).rc, []).append(cpt)
+                        last = pt.position
+                        total_added += 1
+                self.glue_points[sid2].sort(key=lambda g: g.position)
+                self.glue_points[SeqId(sid2).rc].sort(
+                    key=lambda g: g.position)
+
+            for lst in self.glue_points.values():
+                for g in lst:
+                    root = merge_ds.find(g.point_id)
+                    if root is not None:
+                        g.point_id = root
+            logger.debug("Added %d gluepoint projections", total_added)
+            if not total_added:
+                break
 
     # -- edges ---------------------------------------------------------
 

@@ -1,11 +1,11 @@
 """Graph output generation: edge sequences, FASTA, GFA, dot.
 
 Behavioral port of OutputGenerator (reference:
-src/repeat_graph/output_generator.cpp): GFA1 with dp:i coverage and
-L-links (:82-134), Graphviz dot with repeat coloring (:208).  Edge
-sequences use the first (representative) segment of each edge; the
-full consensus-of-segments generation (reference: via
-ConsensusGenerator) is a next-round refinement.
+src/repeat_graph/output_generator.cpp): path sequences pick, per edge,
+the segment whose origin sequence is most frequent along the whole path
+— minimizing switches between source disjointigs (:11-68
+generatePathSequences); GFA1 with dp:i coverage and L-links (:82-134),
+Graphviz dot with repeat coloring (:208).
 """
 
 from __future__ import annotations
@@ -30,8 +30,23 @@ def edge_sequence(graph: RepeatGraph, edge: GraphEdge) -> np.ndarray:
 
 
 def path_sequence(graph: RepeatGraph, path: UnbranchingPath) -> np.ndarray:
-    parts = [edge_sequence(graph, e) for e in path.path]
-    parts = [p for p in parts if len(p)]
+    """Concatenate one segment per edge, choosing segments so the
+    number of distinct source sequences along the path is minimized
+    (reference: output_generator.cpp:11-68 generatePathSequences)."""
+    seq_id_freq: dict = {}
+    for edge in path.path:
+        for sid in {seg.orig_seq_id for seg in edge.seq_segments}:
+            seq_id_freq[sid] = seq_id_freq.get(sid, 0) + 1
+    parts = []
+    for edge in path.path:
+        if not edge.seq_segments:
+            continue
+        best = max(edge.seq_segments,
+                   key=lambda s: seq_id_freq.get(s.orig_seq_id, 0))
+        if best.length <= 0:
+            continue
+        parts.append(graph.asm.get_sub(best.orig_seq_id, best.start,
+                                       best.end))
     if not parts:
         return np.zeros(0, dtype=np.uint8)
     return np.concatenate(parts)

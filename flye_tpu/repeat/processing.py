@@ -53,6 +53,54 @@ class UnbranchingPath:
         return ",".join(repr(e) for e in self.path)
 
 
+def fix_chimeric_junctions(graph: RepeatGraph) -> int:
+    """Split junctions created by chimeric reads that contain two
+    consecutive reversed copies of the real sequence
+    (reference: graph_processing.cpp:32-88 fixChimericJunctions)."""
+    # 1-in-1-out where out is the complement of in
+    simple = []
+    for node in list(graph.nodes):
+        if (len(node.in_edges) == 1 and len(node.out_edges) == 1 and
+                node.in_edges[0].edge_id ==
+                (node.out_edges[0].edge_id ^ 1) and
+                not node.in_edges[0].self_complement):
+            simple.append(node)
+    for node in simple:
+        new_node = graph.add_node()
+        cut = node.out_edges[0]
+        new_node.out_edges.append(cut)
+        cut.node_left = new_node
+        node.out_edges.clear()
+
+    # 2-in-2-out where each in pairs with its reverse complement out
+    complex_cases = []
+    for node in list(graph.nodes):
+        if len(node.in_edges) != 2 or len(node.out_edges) != 2:
+            continue
+        ins, outs = node.in_edges, node.out_edges
+        if (ins[0].edge_id ^ 1) != outs[0].edge_id:
+            ins = [ins[1], ins[0]]
+        if ((ins[0].edge_id ^ 1) == outs[0].edge_id and
+                (ins[1].edge_id ^ 1) == outs[1].edge_id):
+            node.in_edges[:] = ins
+            complex_cases.append(node)
+    for node in complex_cases:
+        new_node = graph.add_node()
+        moved_in = node.in_edges[1]
+        moved_out = node.out_edges[0]
+        moved_in.node_right = new_node
+        moved_out.node_left = new_node
+        new_node.in_edges.append(moved_in)
+        new_node.out_edges.append(moved_out)
+        node.in_edges.pop()
+        node.out_edges.pop(0)
+
+    if simple or complex_cases:
+        logger.debug("Removed %d simple and %d double chimeric junctions",
+                     len(simple), len(complex_cases))
+    return len(simple) + len(complex_cases)
+
+
 def get_unbranching_paths(graph: RepeatGraph) -> List[UnbranchingPath]:
     """(reference: graph_processing.cpp:305-396)."""
     visited = set()

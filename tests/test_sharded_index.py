@@ -36,6 +36,31 @@ def test_sharded_matches_plain(stores):
                                   plain.kmer_freq(queries))
 
 
+def test_mesh_build_matches_host_shard_build(stores):
+    """The all-to-all mesh build must produce exactly the host
+    shard-partitioned index (same shards, same postings order)."""
+    import jax
+
+    from flye_tpu.parallel import make_mesh
+
+    store = stores
+    k, w = 15, 5
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, axes=("data",))
+    host = ShardedKmerIndex.build_minimizers(store, k, w,
+                                             n_shards=n_dev)
+    dev = ShardedKmerIndex.build_minimizers_mesh(store, k, w, mesh)
+    assert dev.num_kmers == host.num_kmers
+    assert dev.index_size == host.index_size
+    np.testing.assert_array_equal(np.asarray(dev.uniq_kmers),
+                                  np.asarray(host.uniq_kmers))
+    np.testing.assert_array_equal(dev.post_seq, host.post_seq)
+    np.testing.assert_array_equal(dev.post_pos, host.post_pos)
+    np.testing.assert_array_equal(dev.post_flip, host.post_flip)
+    np.testing.assert_array_equal(dev.shard_row_base,
+                                  host.shard_row_base)
+
+
 def test_sharded_engine_equivalence(stores):
     store = stores
     k, w = 15, 5

@@ -39,23 +39,16 @@ import jax.numpy as jnp
 NEG = jnp.float32(-1e30)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("block_size", "steepest"))
-def _polish_step(cand, cand_len, done, streak, it_count,
-                 branches, blen, bmask, subs, block_size: int = 64,
-                 steepest: bool = True):
-    """One hill-climbing step over the whole batch (jitted; the
-    convergence loop is driven from the host — a lax.while_loop
-    formulation miscompiled the loop-carried suffix scan on this
-    JAX version, and host stepping also gives early exit)."""
+def _score_edits_jnp(cand, cand_len, branches, blen, bmask, subs):
+    """Score every single-base edit against all branches — the pure-jnp
+    formulation (two lax.scans materializing full F/B tensors).
+
+    Returns (total [B], del_sc [Cb,B], ins_sc [Cb+1,B], ins_chr,
+    sub_sc [Cb,B], sub_chr)."""
     Bb, Cb = cand.shape
     _, R, S = branches.shape
     subs = subs.astype(jnp.float32)
     bmaskf = bmask.astype(jnp.float32)
-    G = block_size if block_size > 0 else Cb + 1
-    nb = -(-(Cb + 1) // G)
-    blk_ids = jnp.arange(nb, dtype=jnp.int32)
-    streak_needed = 1 if nb == 1 else 2
 
     # ---- static per-branch tables (hoisted out of the loop) ----
     b1h = jax.nn.one_hot(branches.astype(jnp.int32), 4,
@@ -154,60 +147,100 @@ def _polish_step(cand, cand_len, done, streak, it_count,
         # rows[i] = B[i] for i in 0..Cb-1; append B[Cb] = base
         return jnp.concatenate([rows, base_row[None]], axis=0)
 
+    c1h = jax.nn.one_hot(cand.astype(jnp.int32), 4,
+                         dtype=jnp.float32)                  # [B,Cb,4]
+    vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])     # [B,Cb]
+    live_c = ivec_bc < cand_len[:, None]
+    vgap_m = jnp.where(live_c, vgap_all, 0.0)
+    # ds[i] = cost of deleting cand[i:clen], [B, Cb+1]
+    csum = jnp.cumsum(vgap_m, axis=1)
+    ds = jnp.concatenate(
+        [jnp.zeros((Bb, 1), jnp.float32), csum], axis=1)
+    ds = csum[:, -1:] - ds
+
+    if hoist_match:
+        match_cols = jnp.einsum("bcx,xbrs->cbrs", c1h, sw)
+    else:
+        match_cols = jnp.moveaxis(c1h, 0, 1)                 # [Cb,B,4]
+    vgap_cols = vgap_m.T                                     # [Cb,B]
+    F = forward_rows(match_cols, vgap_cols)
+    Bm = backward_rows(match_cols, vgap_cols, ds[:, :Cb].T,
+                       jnp.arange(Cb, dtype=jnp.int32))
+
+    # current total score = B[0][0]
+    total = jnp.sum(Bm[0, :, :, 0] * bmaskf, axis=1)         # [B]
+
+    pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :],
+                           0.0, NEG)
+    pvalid_ins = jnp.where(ppos_c1[:, None] <= cand_len[None, :],
+                           0.0, NEG)
+
+    del_sc = masked_reduce(F[:-1], Bm[1:]) + pvalid_del      # [Cb, B]
+
+    ins_sc = jnp.full((Cb + 1, Bb), NEG)
+    ins_chr = jnp.zeros((Cb + 1, Bb), jnp.int32)
+    sub_sc = jnp.full((Cb, Bb), NEG)
+    sub_chr = jnp.zeros((Cb, Bb), jnp.int32)
+    cand_t = cand.astype(jnp.int32).T                        # [Cb, B]
+    for x in range(4):
+        mx = sw[x]                                           # [B,R,S]
+        xgap = subs[x, 4]
+        subx = jnp.concatenate(
+            [F[:, :, :, :1] + xgap,
+             jnp.maximum(F[:, :, :, :-1] + mx[None],
+                         F[:, :, :, 1:] + xgap)], axis=3)
+        ins_x = masked_reduce(subx, Bm) + pvalid_ins         # [Cb+1, B]
+        better = ins_x > ins_sc
+        ins_sc = jnp.where(better, ins_x, ins_sc)
+        ins_chr = jnp.where(better, x, ins_chr)
+
+        sub_x = masked_reduce(subx[:-1], Bm[1:]) + pvalid_del
+        sub_x = sub_x + jnp.where(cand_t == x, NEG, 0.0)
+        better = sub_x > sub_sc
+        sub_sc = jnp.where(better, sub_x, sub_sc)
+        sub_chr = jnp.where(better, x, sub_chr)
+    return total, del_sc, ins_sc, ins_chr, sub_sc, sub_chr
+
+
+def _polish_step(cand, cand_len, done, streak, it_count,
+                 branches, blen, bmask, subs, block_size: int = 64,
+                 steepest: bool = True, use_pallas: bool = False,
+                 prep=None):
+    """One hill-climbing step over the whole batch (the convergence
+    loop is driven from the host — a lax.while_loop formulation
+    miscompiled the loop-carried suffix scan on this JAX version, and
+    host stepping also gives early exit).  Scoring runs either as the
+    jnp scans or the fused Pallas kernels (TPU); edit selection and the
+    candidate rebuild are a separate jitted stage."""
+    if use_pallas:
+        from flye_tpu.ops.polish_pallas import score_edits_pallas
+        scores = score_edits_pallas(cand, cand_len, branches, blen,
+                                    bmask, subs, prep=prep)
+    else:
+        scores = _score_jit(cand, cand_len, branches, blen, bmask,
+                            subs)
+    return _select_apply(cand, cand_len, done, streak, it_count,
+                         *scores, block_size=block_size,
+                         steepest=steepest)
+
+
+_score_jit = jax.jit(_score_edits_jnp)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "steepest"))
+def _select_apply(cand, cand_len, done, streak, it_count,
+                  total, del_sc, ins_sc, ins_chr, sub_sc, sub_chr,
+                  block_size: int = 64, steepest: bool = True):
+    Bb, Cb = cand.shape
+    G = block_size if block_size > 0 else Cb + 1
+    nb = -(-(Cb + 1) // G)
+    blk_ids = jnp.arange(nb, dtype=jnp.int32)
+    streak_needed = 1 if nb == 1 else 2
+    ivec_bc = jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb), 1)
+    live_c = ivec_bc < cand_len[:, None]
+
     def body(cand, cand_len, done, streak, it_count):
-        c1h = jax.nn.one_hot(cand.astype(jnp.int32), 4,
-                             dtype=jnp.float32)              # [B,Cb,4]
-        vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])  # [B,Cb]
-        live_c = ivec_bc < cand_len[:, None]
-        vgap_m = jnp.where(live_c, vgap_all, 0.0)
-        # ds[i] = cost of deleting cand[i:clen], [B, Cb+1]
-        csum = jnp.cumsum(vgap_m, axis=1)
-        ds = jnp.concatenate(
-            [jnp.zeros((Bb, 1), jnp.float32), csum], axis=1)
-        ds = csum[:, -1:] - ds
-
-        if hoist_match:
-            match_cols = jnp.einsum("bcx,xbrs->cbrs", c1h, sw)
-        else:
-            match_cols = jnp.moveaxis(c1h, 0, 1)             # [Cb,B,4]
-        vgap_cols = vgap_m.T                                 # [Cb,B]
-        F = forward_rows(match_cols, vgap_cols)
-        Bm = backward_rows(match_cols, vgap_cols, ds[:, :Cb].T,
-                           jnp.arange(Cb, dtype=jnp.int32))
-
-        # current total score = B[0][0]
-        total = jnp.sum(Bm[0, :, :, 0] * bmaskf, axis=1)     # [B]
-
-        pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :],
-                               0.0, NEG)
-        pvalid_ins = jnp.where(ppos_c1[:, None] <= cand_len[None, :],
-                               0.0, NEG)
-
-        del_sc = masked_reduce(F[:-1], Bm[1:]) + pvalid_del  # [Cb, B]
-
-        ins_sc = jnp.full((Cb + 1, Bb), NEG)
-        ins_chr = jnp.zeros((Cb + 1, Bb), jnp.int32)
-        sub_sc = jnp.full((Cb, Bb), NEG)
-        sub_chr = jnp.zeros((Cb, Bb), jnp.int32)
-        cand_t = cand.astype(jnp.int32).T                    # [Cb, B]
-        for x in range(4):
-            mx = sw[x]                                       # [B,R,S]
-            xgap = subs[x, 4]
-            subx = jnp.concatenate(
-                [F[:, :, :, :1] + xgap,
-                 jnp.maximum(F[:, :, :, :-1] + mx[None],
-                             F[:, :, :, 1:] + xgap)], axis=3)
-            ins_x = masked_reduce(subx, Bm) + pvalid_ins     # [Cb+1, B]
-            better = ins_x > ins_sc
-            ins_sc = jnp.where(better, ins_x, ins_sc)
-            ins_chr = jnp.where(better, x, ins_chr)
-
-            sub_x = masked_reduce(subx[:-1], Bm[1:]) + pvalid_del
-            sub_x = sub_x + jnp.where(cand_t == x, NEG, 0.0)
-            better = sub_x > sub_sc
-            sub_sc = jnp.where(better, sub_x, sub_sc)
-            sub_chr = jnp.where(better, x, sub_chr)
-
         # ---- block-parallel edit selection ----
         def to_blocks(arr, rows):
             pad = nb * G - rows
@@ -331,7 +364,7 @@ def _polish_step(cand, cand_len, done, streak, it_count,
 
 def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
                    max_iters: int, block_size: int = 64,
-                   steepest: bool = True):
+                   steepest: bool = True, use_pallas=None):
     """Hill-climb every bubble to convergence.
 
     Args:
@@ -346,6 +379,13 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     """
     import numpy as np
 
+    if use_pallas is None:
+        # the fused Pallas scoring path is the TPU default
+        use_pallas = jax.default_backend() == "tpu"
+    prep = None
+    if use_pallas:
+        from flye_tpu.ops.polish_pallas import prepare_branches_pallas
+        prep = prepare_branches_pallas(branches, blen, bmask, subs)
     Bb = cand.shape[0]
     done = jnp.zeros((Bb,), bool)
     streak = jnp.zeros((Bb,), jnp.int32)
@@ -357,13 +397,18 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     blen = jnp.asarray(blen, jnp.int32)
     bmask = jnp.asarray(bmask)
     subs = jnp.asarray(subs, jnp.float32)
+    # convergence is polled every poll_every iterations: each poll is a
+    # blocking device->host sync, while un-polled steps pipeline freely
+    # (converged lanes are frozen by their done flag either way)
+    poll_every = 4 if use_pallas else 1
     for it in range(max_iters):
         cand, cand_len, done, streak, score = _polish_step(
             cand, cand_len, done, streak, jnp.int32(it),
             branches, blen, bmask, subs, block_size=block_size,
-            steepest=steepest)
-        done_h = np.asarray(done)
-        iters += ~done_h
-        if done_h.all():
-            break
+            steepest=steepest, use_pallas=bool(use_pallas), prep=prep)
+        if (it + 1) % poll_every == 0 or it == max_iters - 1:
+            done_h = np.asarray(done)
+            iters = np.where(done_h, iters, it + 1)
+            if done_h.all():
+                break
     return cand, cand_len, score, jnp.asarray(iters.astype(np.int32))

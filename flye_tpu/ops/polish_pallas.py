@@ -1,0 +1,385 @@
+"""Fused Pallas TPU kernels for the bubble-polishing edit scoring.
+
+The jnp formulation in ops/polish.py materializes the full forward (F)
+and backward (B) score tensors [C+1, batch, R, S+1] in HBM and makes
+multiple passes over them (the 4-character insertion/substitution
+scoring plus the per-row associative scans) — ~10x more HBM traffic
+than the data requires.  These kernels keep each DP row in VMEM:
+
+  phase 1 (backward): one sequential grid walk over candidate rows,
+    carrying the current row in VMEM scratch and resolving the in-row
+    branch-gap dependency with a log-step shift-max (suffix-max trick);
+    only the B rows stream out to HBM.
+  phase 2 (forward + scoring): walks rows forward, carrying F in VMEM
+    (never materialized in HBM), streams each B row in once, and
+    computes del/ins/sub scores for all 4 characters in the same pass.
+
+Semantics match ops/polish.py's forward_rows/backward_rows/scoring
+exactly (same masks, same NEG padding); the only difference is
+float reduction order (<=2e-5 on the scores, far under the polisher's
+1e-3 acceptance threshold).
+
+Used on TPU; CPU paths (tests) run the kernels in interpreter mode or
+fall back to the jnp version.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+_TILE_B = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _shift_r(x, fill):
+    """x[..., j] -> x[..., j-1], fill at j=0."""
+    tb, r, w = x.shape
+    return jnp.concatenate(
+        [jnp.full((tb, r, 1), fill, x.dtype), x[:, :, :-1]], axis=2)
+
+
+def _shift_l(x, fill):
+    """x[..., j] -> x[..., j+1], fill at j=W-1."""
+    tb, r, w = x.shape
+    return jnp.concatenate(
+        [x[:, :, 1:], jnp.full((tb, r, 1), fill, x.dtype)], axis=2)
+
+
+def _prefix_max(g, n_shifts):
+    for p in range(n_shifts):
+        s = 1 << p
+        tb, r, w = g.shape
+        rolled = jnp.concatenate(
+            [jnp.full((tb, r, s), NEG, g.dtype), g[:, :, :-s]], axis=2)
+        g = jnp.maximum(g, rolled)
+    return g
+
+
+def _suffix_max(g, n_shifts):
+    for p in range(n_shifts):
+        s = 1 << p
+        tb, r, w = g.shape
+        rolled = jnp.concatenate(
+            [g[:, :, s:], jnp.full((tb, r, s), NEG, g.dtype)], axis=2)
+        g = jnp.maximum(g, rolled)
+    return g
+
+
+def _sel_match(cx, sw):
+    """Per-lane match plane: sw[cx[b]] as selects (gathers are slow)."""
+    match = jnp.zeros_like(sw[0])
+    for x in range(4):
+        match = jnp.where((cx == x)[:, None, None], sw[x], match)
+    return match
+
+
+def _col(ref, i):
+    """Column i of a [TB, C] block as a [TB] vector (iota-masked sum —
+    Mosaic cannot lower dynamic lane-dimension slices)."""
+    row = ref[:]
+    jj = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.sum(jnp.where(jj == i, row, 0), axis=1)
+
+
+def _setcol(ref, i, val):
+    """Write val [TB] into column i of a [TB, C] block."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 1)
+    ref[:] = jnp.where(jj == i, val[:, None], ref[:])
+
+
+def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
+                     clen_ref, blen_ref, out_ref, carry, *, Cb: int,
+                     n_shifts: int):
+    t = pl.program_id(1)
+    i = Cb - 1 - t
+
+    @pl.when(t == 0)
+    def _():
+        carry[:] = sg_ref[:]
+
+    nxt = carry[:]
+    sg = sg_ref[:]
+    TB, R, W = nxt.shape
+    cx = _col(cand_ref, i)
+    match = _sel_match(cx, sw_ref[:])
+    vg = _col(vgap_ref, i)[:, None, None]
+    dsi = _col(ds_ref, i)[:, None, None]
+    blen3 = blen_ref[:][:, :, None]
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
+
+    diag = jnp.where(jpos < blen3, _shift_l(nxt, NEG) + match, NEG)
+    tmp = jnp.maximum(diag, nxt + vg)
+    tmp = jnp.where(jpos <= blen3, tmp, NEG)
+    row = _suffix_max(tmp - sg, n_shifts) + sg
+    in_range = (i < clen_ref[:, 0])[:, None, None]
+    row = jnp.where(in_range, row, sg)
+    row = jnp.where(jpos <= blen3, row, dsi)
+    carry[:] = row
+    out_ref[0] = row
+
+
+def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b0_ref, b1_ref,
+                          cand_ref, vgap_ref, clen_ref, blen_ref,
+                          bmask_ref, xgap_ref,
+                          del_ref, ins_ref, insc_ref, sub_ref,
+                          subc_ref, total_ref, carry, *, Cb: int,
+                          n_shifts: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry[:] = gp_ref[:]
+
+    F = carry[:]
+    sg = sg_ref[:]
+    TB, R, W = F.shape
+    blen3 = blen_ref[:][:, :, None]
+    bmaskf = bmask_ref[:]
+    clen = clen_ref[:, 0]
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
+    jmask = jnp.where(jpos <= blen3, 0.0, NEG)
+
+    # B rows; indices beyond Cb-1 resolve to the base row sg
+    B0 = jnp.where(t <= Cb - 1, b0_ref[0], sg)
+    B1 = jnp.where(t + 1 <= Cb - 1, b1_ref[0], sg)
+
+    @pl.when(t == 0)
+    def _():
+        tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
+        total_ref[:] = jnp.broadcast_to(tot[:, None], total_ref.shape)
+
+    pv_del = jnp.where(t < clen, 0.0, NEG)
+    pv_ins = jnp.where(t <= clen, 0.0, NEG)
+
+    dmax = jnp.max(F + (B1 + jmask), axis=2)
+    _setcol(del_ref, t, jnp.sum(dmax * bmaskf, axis=1) + pv_del)
+
+    cx = _col(cand_ref, t)
+    ins_best = jnp.full((TB,), NEG, jnp.float32)
+    ins_chr = jnp.zeros((TB,), jnp.int32)
+    sub_best = jnp.full((TB,), NEG, jnp.float32)
+    sub_chr = jnp.zeros((TB,), jnp.int32)
+    B0m = B0 + jmask
+    B1m = B1 + jmask
+    for x in range(4):
+        mx = sw_ref[x]
+        xg = xgap_ref[0, x]
+        subx = jnp.maximum(_shift_r(F + mx, NEG), F + xg)
+        ins_x = jnp.sum(jnp.max(subx + B0m, axis=2) * bmaskf,
+                        axis=1) + pv_ins
+        better = ins_x > ins_best
+        ins_best = jnp.where(better, ins_x, ins_best)
+        ins_chr = jnp.where(better, x, ins_chr)
+        sub_x = jnp.sum(jnp.max(subx + B1m, axis=2) * bmaskf,
+                        axis=1) + pv_del
+        sub_x = sub_x + jnp.where(cx == x, NEG, 0.0)
+        better = sub_x > sub_best
+        sub_best = jnp.where(better, sub_x, sub_best)
+        sub_chr = jnp.where(better, x, sub_chr)
+    _setcol(ins_ref, t, ins_best)
+    _setcol(insc_ref, t, ins_chr)
+    _setcol(sub_ref, t, sub_best)
+    _setcol(subc_ref, t, sub_chr)
+
+    # advance F -> next row (uses this row's candidate character)
+    @pl.when(t < Cb)
+    def _():
+        gp = gp_ref[:]
+        match = _sel_match(cx, sw_ref[:])
+        vg = _col(vgap_ref, t)[:, None, None]
+        tmp = jnp.maximum(_shift_r(F + match, NEG), F + vg)
+        carry[:] = _prefix_max(tmp - gp, n_shifts) + gp
+
+
+def prepare_branches_pallas(branches, blen, bmask, subs):
+    """Precompute the branch-side tables (constant across hill-climb
+    iterations): padded match planes, gap prefix/suffix costs, masks."""
+    with jax.enable_x64(False):
+        return _prepare_branches(
+            jnp.asarray(branches, jnp.int32), jnp.asarray(blen, jnp.int32),
+            jnp.asarray(bmask), jnp.asarray(subs, jnp.float32))
+
+
+@jax.jit
+def _prepare_branches(branches, blen, bmask, subs):
+    Bb, R, S = branches.shape
+    W = _round_up(S + 1, 128)
+    Rp = _round_up(R, 8)
+    pad_b = (-Bb) % _TILE_B
+
+    # ---- per-branch tables (identical to ops/polish.py) ----
+    b1h = jax.nn.one_hot(branches, 4, dtype=jnp.float32)
+    sw = jnp.einsum("brsx,yx->ybrs", b1h, subs[:4, :4])      # [4,B,R,S]
+    gap_b = jnp.einsum("brsx,x->brs", b1h, subs[4, :4])
+    jpos_s = jax.lax.broadcasted_iota(jnp.int32, (Bb, R, S), 2)
+    gap_bm = jnp.where(jpos_s < blen[:, :, None], gap_b, 0.0)
+    gp = jnp.concatenate(
+        [jnp.zeros((Bb, R, 1), jnp.float32),
+         jnp.cumsum(gap_bm, axis=2)], axis=2)                # [B,R,S+1]
+    sg = gp[:, :, -1:] - gp
+
+    def pad_brw(x, fill):
+        x = jnp.pad(x, ((0, pad_b), (0, Rp - R),
+                        (0, W - x.shape[2])),
+                    constant_values=fill)
+        return x.astype(jnp.float32)
+
+    # replicate gp's last column into the pad so prefix-max transforms
+    # stay exact; sg pad is 0 by the same identity
+    gp_p = jnp.concatenate(
+        [gp, jnp.broadcast_to(gp[:, :, -1:], (Bb, R, W - S - 1))],
+        axis=2)
+    gp_p = jnp.pad(gp_p, ((0, pad_b), (0, Rp - R), (0, 0)))
+    sg_p = pad_brw(sg, 0.0)
+    sw_p = jnp.pad(sw, ((0, 0), (0, pad_b), (0, Rp - R),
+                        (0, W - S))).astype(jnp.float32)
+    # padded branch rows must never win reductions: blen pad = -1
+    blen_p = jnp.pad(blen, ((0, pad_b), (0, Rp - R)),
+                     constant_values=-1).astype(jnp.int32)
+    bmask_p = jnp.pad(bmask.astype(jnp.float32),
+                      ((0, pad_b), (0, Rp - R)))
+    xgaps = jnp.broadcast_to(subs[:4, 4][None], (8, 4))      # [8, 4]
+    return (sw_p, gp_p, sg_p, blen_p, bmask_p, xgaps)
+
+
+def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
+                       interpret: bool = False, prep=None):
+    """All single-edit scores for every bubble, fused on-chip.
+
+    Args mirror ops/polish.py's _polish_step inputs. Returns
+    (total [B], del_sc [Cb,B], ins_sc [Cb+1,B], ins_chr [Cb+1,B],
+     sub_sc [Cb,B], sub_chr [Cb,B]), matching the jnp formulation.
+    Pass prep=prepare_branches_pallas(...) to reuse the branch tables
+    across hill-climbing iterations.
+    """
+    with jax.enable_x64(False):
+        if prep is None:
+            prep = _prepare_branches(
+                jnp.asarray(branches, jnp.int32),
+                jnp.asarray(blen, jnp.int32), jnp.asarray(bmask),
+                jnp.asarray(subs, jnp.float32))
+        return _score_edits_pallas(
+            jnp.asarray(cand, jnp.int32), jnp.asarray(cand_len, jnp.int32),
+            jnp.asarray(subs, jnp.float32), *prep,
+            interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
+                        blen_p, bmask_p, xgaps,
+                        interpret: bool = False):
+    Bb, Cb = cand.shape
+    _, Bp, Rp, W = sw_p.shape
+    n_shifts = (W - 1).bit_length()
+    pad_b = Bp - Bb
+
+    c1h = jax.nn.one_hot(cand, 4, dtype=jnp.float32)
+    vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])
+    live_c = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb), 1) <
+              cand_len[:, None])
+    vgap_m = jnp.where(live_c, vgap_all, 0.0)
+    csum = jnp.cumsum(vgap_m, axis=1)
+    ds = jnp.concatenate([jnp.zeros((Bb, 1), jnp.float32), csum], axis=1)
+    ds = csum[:, -1:] - ds                                   # [B, Cb+1]
+
+    cand_pad = jnp.pad(cand, ((0, pad_b), (0, 1)))           # [Bp, Cb+1]
+    vgap_pad = jnp.pad(vgap_m, ((0, pad_b), (0, 1)))         # [Bp, Cb+1]
+    ds_pad = jnp.pad(ds, ((0, pad_b), (0, 0)))               # [Bp, Cb+1]
+    clen_p = jnp.pad(cand_len, (0, pad_b))[:, None]          # [Bp, 1]
+
+    nB = Bp // _TILE_B
+    C1 = Cb + 1
+
+    vmem_full = pl.BlockSpec(
+        (4, _TILE_B, Rp, W), lambda b, t: (0, b, 0, 0),
+        memory_space=pltpu.VMEM)
+    vmem_brw = pl.BlockSpec(
+        (_TILE_B, Rp, W), lambda b, t: (b, 0, 0),
+        memory_space=pltpu.VMEM)
+    vmem_br = pl.BlockSpec(
+        (_TILE_B, Rp), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    vmem_b1 = pl.BlockSpec(
+        (_TILE_B, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+    # whole per-lane row span in one block (constant over t; columns
+    # are indexed dynamically in-kernel)
+    vmem_rows = pl.BlockSpec(
+        (_TILE_B, C1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+
+    # ---- phase 1: backward rows ----
+    bw = pl.pallas_call(
+        functools.partial(_backward_kernel, Cb=Cb, n_shifts=n_shifts),
+        grid=(nB, Cb),
+        in_specs=[
+            vmem_full, vmem_brw,
+            vmem_rows,                                # cand
+            vmem_rows,                                # vgap
+            vmem_rows,                                # ds
+            vmem_b1, vmem_br,
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_B, Rp, W),
+                               lambda b, t: (Cb - 1 - t, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cb, Bp, Rp, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_TILE_B, Rp, W), jnp.float32)],
+        interpret=interpret,
+    )(sw_p, sg_p, cand_pad, vgap_pad, ds_pad, clen_p, blen_p)
+
+    # ---- phase 2: forward + scoring ----
+    def b_row(off):
+        def index(b, t):
+            i = t + off
+            i = i if isinstance(i, int) else i
+            cap = Cb - 1
+            clamped = (min(i, cap) if isinstance(i, int)
+                       else jnp.minimum(i, cap))
+            return (clamped, b, 0, 0)
+        return pl.BlockSpec((1, _TILE_B, Rp, W), index,
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_forward_score_kernel, Cb=Cb,
+                          n_shifts=n_shifts),
+        grid=(nB, Cb + 1),
+        in_specs=[
+            vmem_full, vmem_brw, vmem_brw,
+            b_row(0), b_row(1),
+            vmem_rows,                                # cand
+            vmem_rows,                                # vgap
+            vmem_b1, vmem_br, vmem_br,
+            pl.BlockSpec((8, 4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            vmem_rows,                                # del
+            vmem_rows,                                # ins
+            vmem_rows,                                # ins chr
+            vmem_rows,                                # sub
+            vmem_rows,                                # sub chr
+            pl.BlockSpec((_TILE_B, 128), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),    # total
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, C1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, C1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_TILE_B, Rp, W), jnp.float32)],
+        interpret=interpret,
+    )(sw_p, gp_p, sg_p, bw, bw, cand_pad, vgap_pad, clen_p, blen_p,
+      bmask_p, xgaps)
+
+    del_sc, ins_sc, ins_chr, sub_sc, sub_chr, total = outs
+    return (total[:Bb, 0], del_sc[:Bb, :Cb].T, ins_sc[:Bb].T,
+            ins_chr[:Bb].T, sub_sc[:Bb, :Cb].T, sub_chr[:Bb, :Cb].T)

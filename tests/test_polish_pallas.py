@@ -1,0 +1,80 @@
+"""Interpret-mode equivalence of the fused Pallas polish scoring vs the
+jnp scan formulation (the TPU path's correctness oracle)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flye_tpu.ops.polish import _score_edits_jnp, polish_bubbles
+from flye_tpu.ops.polish_pallas import score_edits_pallas
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_score_edits_matches_jnp(seed):
+    rng = np.random.default_rng(seed)
+    B, Cb, R, S = 5, 24, 3, 40
+    cand = rng.integers(0, 4, (B, Cb)).astype(np.uint8)
+    clen = rng.integers(10, Cb + 1, B).astype(np.int32)
+    branches = rng.integers(0, 4, (B, R, S)).astype(np.uint8)
+    blen = rng.integers(8, S + 1, (B, R)).astype(np.int32)
+    bmask = rng.random((B, R)) < 0.8
+    bmask[:, 0] = True
+    subs = np.log(rng.random((5, 5)) * 0.5 + 0.01).astype(np.float32)
+
+    ref = _score_edits_jnp(jnp.asarray(cand), jnp.asarray(clen),
+                           jnp.asarray(branches), jnp.asarray(blen),
+                           jnp.asarray(bmask), jnp.asarray(subs))
+    out = score_edits_pallas(cand, clen, branches, blen, bmask, subs,
+                             interpret=True)
+    names = ["total", "del", "ins", "ins_chr", "sub", "sub_chr"]
+    for name, r, o in zip(names, ref, out):
+        r, o = np.asarray(r), np.asarray(o)
+        assert r.shape == o.shape, name
+        if name.endswith("chr"):
+            np.testing.assert_array_equal(r, o, err_msg=name)
+        else:
+            finite = r > -1e29
+            assert np.array_equal(finite, o > -1e29), name
+            diff = np.abs(np.where(finite, r - o, 0)).max()
+            assert diff < 1e-3, (name, diff)
+
+
+def test_polish_bubbles_pallas_path():
+    """Full hill climb through the interpret-mode kernels converges to
+    the same candidates as the jnp path."""
+    rng = np.random.default_rng(7)
+    B, C, Cb, R, S = 4, 30, 40, 3, 60
+    true = rng.integers(0, 4, (B, C)).astype(np.uint8)
+    cand = np.zeros((B, Cb), np.uint8)
+    cand[:, :C] = true
+    for i in range(B):
+        idx = rng.integers(0, C, 2)
+        cand[i, idx] = (cand[i, idx] + 1) % 4
+    clen = np.full(B, C, np.int32)
+    branches = np.zeros((B, R, S), np.uint8)
+    branches[:, :, :C] = true[:, None, :]
+    blen = np.full((B, R), C, np.int32)
+    bmask = np.ones((B, R), bool)
+    subs = np.log(np.full((5, 5), 0.05, np.float32))
+    np.fill_diagonal(subs[:4, :4], np.log(0.8))
+
+    import flye_tpu.ops.polish as P
+    import flye_tpu.ops.polish_pallas as PP
+    orig = PP._score_edits_pallas
+    o_j = P.polish_bubbles(cand, clen, branches, blen, bmask, subs,
+                           max_iters=24, use_pallas=False)
+    # route the pallas path through the interpreter on CPU
+    PP._score_edits_pallas = (
+        lambda *a, interpret=False, **k: orig(*a, interpret=True, **k))
+    try:
+        o_p = P.polish_bubbles(cand, clen, branches, blen, bmask, subs,
+                               max_iters=24, use_pallas=True)
+    finally:
+        PP._score_edits_pallas = orig
+    np.testing.assert_array_equal(np.asarray(o_j[0]), np.asarray(o_p[0]))
+    np.testing.assert_array_equal(np.asarray(o_j[1]), np.asarray(o_p[1]))
+    # and it actually fixed the errors
+    for i in range(B):
+        n = int(o_p[1][i])
+        assert n == C
+        np.testing.assert_array_equal(np.asarray(o_p[0][i][:n]), true[i])

@@ -185,6 +185,46 @@ def test_separate_path_and_clear_resolved():
     assert r.mean_coverage < cov_before
 
 
+def test_resolve_simple_repeats():
+    """Two entrances and two exits around one repeat path, paired
+    one-to-one by reads -> both connections spliced."""
+    store = SequenceStore()
+    store.add("d", np.zeros(60000, np.uint8))
+    g = RepeatGraph(store)
+    n = [g.add_node() for _ in range(14)]
+    in1 = _mk_edge(g, n[0], n[2], 0)
+    _mk_edge(g, n[3], n[1], 1)
+    in2 = _mk_edge(g, n[4], n[2], 2)
+    _mk_edge(g, n[3], n[5], 3)
+    rep = _mk_edge(g, n[2], n[6], 4, cov=60)
+    _mk_edge(g, n[7], n[3], 5, cov=60)
+    out1 = _mk_edge(g, n[6], n[8], 6)
+    _mk_edge(g, n[9], n[7], 7)
+    out2 = _mk_edge(g, n[6], n[10], 8)
+    _mk_edge(g, n[11], n[7], 9)
+    rep.repetitive = True
+    g.complement_edge(rep).repetitive = True
+
+    reads = SequenceStore()
+    for i in range(6):
+        reads.add(f"r{i}", np.zeros(30000, np.uint8))
+    alns = []
+    for i, (a, b) in enumerate([(in1, out1)] * 3 + [(in2, out2)] * 3):
+        rid = 2 * i
+        alns.append([_aln(a, 0, 9000, read_id=rid),
+                     _aln(rep, 9000, 15000, read_id=rid),
+                     _aln(b, 15000, 24000, read_id=rid)])
+    cfg = Config("raw", min_overlap=2000)
+    res = RepeatResolver(g, reads, FakeAligner(alns), cfg, FakeInferer())
+    n_resolved = res.resolve_simple_repeats()
+    assert n_resolved == 2
+    # each entrance is rerouted through its own bridge to its exit
+    b1 = in1.node_right.out_edges[0]
+    assert b1.node_right.out_edges == [out1]
+    b2 = in2.node_right.out_edges[0]
+    assert b2.node_right.out_edges == [out2]
+
+
 def make_superbubble_graph():
     """start -> (x1|x2) -> end with both branches short, plus strand."""
     store = SequenceStore()

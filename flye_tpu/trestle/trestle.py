@@ -18,10 +18,16 @@ runs through our primitives:
    consistent vote bridges in->out and the graph is edited exactly like
    a read-bridged connection.
 
-The full iterative-extension loop for very long repeats (reference:
-trestle.py:1075) lands in a later round; this resolves the common
-multiplicity-2 case where flank-anchored reads reach into the repeat
-from both ends.
+For repeats much longer than the reads, neither spanning votes nor a
+single middle window can phase the copies: the reference iterates
+divergent-position calling and read partitioning from both flanks
+inward (reference: trestle.py:1075, divergence.py:146).  Here
+`_iterative_partition` walks windows from the repeat start: each
+window's per-side consensus comes from the reads assigned so far,
+unassigned reads covering the window join the side with the smaller
+edit distance, and the walk continues while the two side consensuses
+stay distinguishable.  Reads that exit the repeat then vote entrance ->
+exit pairings exactly like the spanning case.
 """
 
 from __future__ import annotations
@@ -108,6 +114,9 @@ def resolve_unbridged_repeats(graph: RepeatGraph, reads: SequenceStore,
         pairing = _vote_sides(rep, chains_by_edge)
         if pairing is None:
             pairing = _divergence_vote(graph, reads, rep, chains_by_edge)
+        if pairing is None:
+            pairing = _iterative_partition(graph, reads, rep,
+                                           chains_by_edge)
         if pairing is None:
             continue
         (in_a, out_a), (in_b, out_b) = pairing
@@ -268,6 +277,185 @@ def _divergence_vote(graph: RepeatGraph, reads: SequenceStore,
         pairing = ((in_ids[0], out_ids[0]), (in_ids[1], out_ids[1]))
     else:
         pairing = ((in_ids[0], out_ids[1]), (in_ids[1], out_ids[0]))
+    return ((edge_map[pairing[0][0]], edge_map[pairing[0][1]]),
+            (edge_map[pairing[1][0]], edge_map[pairing[1][1]]))
+
+
+def _path_offsets(rep: SimpleRepeat) -> Dict[int, int]:
+    offsets = {}
+    off = 0
+    for e in rep.path.path:
+        offsets[e.edge_id] = off
+        off += e.length()
+    return offsets
+
+
+def _chain_repeat_segments(reads, rep, offsets, chain):
+    """Read substrings projected onto repeat-path coordinates:
+    [(path_lo, path_hi, codes)] for every repeat-path alignment."""
+    segs = []
+    for a in chain:
+        off = offsets.get(a.edge.edge_id)
+        if off is None:
+            continue
+        ov = a.overlap
+        rev = ov.reverse()
+        lo = off + ov.ext_begin
+        hi = off + ov.ext_end
+        if hi - lo < 50:
+            continue
+        codes = reads.get(ov.cur_id)[ov.cur_begin:ov.cur_end]
+        segs.append((lo, hi, codes, rev))
+    return segs
+
+
+def _window_slice(segs, reads, lo, hi):
+    """Read codes covering repeat window [lo, hi], via projection."""
+    out = []
+    for p_lo, p_hi, _codes, rev in segs:
+        if p_lo > lo or p_hi < hi:
+            continue
+        try:
+            r0 = rev.project(lo - (p_lo - rev.cur_begin))
+            r1 = rev.project(hi - (p_lo - rev.cur_begin))
+        except ValueError:
+            continue
+        if r1 > r0:
+            out.append((r0, r1))
+    return out
+
+
+def _iterative_partition(graph: RepeatGraph, reads: SequenceStore,
+                         rep: SimpleRepeat, chains_by_edge
+                         ) -> Optional[Tuple]:
+    """Phase repeats longer than the reads: walk windows from the
+    repeat start, building per-side consensuses from the reads assigned
+    so far and recruiting unassigned reads to the closer side
+    (reference: the iterative divergence/partition loop,
+    flye/trestle/trestle.py:1075, divergence.py:146)."""
+    from flye_tpu.ops.align import SegmentBatcher
+    from flye_tpu.polishing.polisher import polish_bubble_set
+    from flye_tpu.polishing.windows import Bubble
+
+    window = 500
+    L = rep.path.length
+    if L < 2 * window:
+        return None
+    offsets = _path_offsets(rep)
+    template = path_sequence(graph, rep.path)
+    if len(template) < L:
+        L = len(template)
+
+    in_ids = [e.edge_id for e in rep.in_edges]
+    out_ids = [e.edge_id for e in rep.out_edges]
+    repeat_ids = set(offsets)
+
+    # collect unique chains touching the repeat; classify entry/exit
+    seen = set()
+    chains = []
+    for eid in list(repeat_ids) + in_ids + out_ids:
+        for chain in chains_by_edge.get(eid, []):
+            if id(chain) in seen:
+                continue
+            seen.add(id(chain))
+            edge_ids = [a.edge.edge_id for a in chain]
+            if not any(e in repeat_ids for e in edge_ids):
+                continue
+            entry = exit_e = None
+            for a, b in zip(edge_ids[:-1], edge_ids[1:]):
+                if a in in_ids and b in repeat_ids:
+                    entry = a
+                if a in repeat_ids and b in out_ids:
+                    exit_e = b
+            chains.append({"chain": chain, "entry": entry,
+                           "exit": exit_e, "side": None})
+
+    sides = {in_ids[0]: 0, in_ids[1]: 1}
+    for rec in chains:
+        if rec["entry"] is not None:
+            rec["side"] = sides[rec["entry"]]
+        rec["segs"] = _chain_repeat_segments(reads, rep, offsets,
+                                             rec["chain"])
+
+    def read_codes(rec, r0, r1):
+        # rev.ext_id is the (strand-aware) read id after reverse()
+        rid = rec["segs"][0][3].ext_id if rec["segs"] else None
+        return reads.get(rid)[r0:r1] if rid is not None else None
+
+    # walk windows forward, phasing as we go
+    pos = 0
+    phased_to = 0
+    while pos + window <= L:
+        lo, hi = pos, pos + window
+        side_wins = {0: [], 1: []}
+        for rec in chains:
+            if rec["side"] is None:
+                continue
+            for r0, r1 in _window_slice(rec["segs"], reads, lo, hi):
+                codes = read_codes(rec, r0, r1)
+                if codes is not None and len(codes):
+                    side_wins[rec["side"]].append(codes)
+                break
+        if len(side_wins[0]) < 2 or len(side_wins[1]) < 2:
+            break
+        bubbles = []
+        for s in (0, 1):
+            b = Bubble(0, 0, lo, hi, template[lo:hi].copy())
+            b.branches = side_wins[s][:16]
+            bubbles.append(b)
+        polish_bubble_set(bubbles, "pacbio")
+        cons = [(b.polished if b.polished is not None else b.candidate)
+                for b in bubbles]
+
+        batcher = SegmentBatcher()
+        diff_idx = batcher.add(cons[0], cons[1])
+        cand_keys = []
+        for ci, rec in enumerate(chains):
+            if rec["side"] is not None:
+                continue
+            for r0, r1 in _window_slice(rec["segs"], reads, lo, hi):
+                codes = read_codes(rec, r0, r1)
+                if codes is None or not len(codes):
+                    break
+                k0 = batcher.add(codes, cons[0])
+                k1 = batcher.add(codes, cons[1])
+                cand_keys.append((ci, k0, k1))
+                break
+        dists = batcher.run()
+        if dists[diff_idx] == 0:
+            # copies locally identical: reads cannot be phased past here
+            break
+        for ci, k0, k1 in cand_keys:
+            d0, d1 = int(dists[k0]), int(dists[k1])
+            if d0 != d1:
+                chains[ci]["side"] = 0 if d0 < d1 else 1
+        phased_to = hi
+        pos += window // 2
+
+    if phased_to == 0:
+        return None
+
+    # exit votes from phased chains
+    votes: Dict[Tuple[int, int], int] = {}
+    for rec in chains:
+        if rec["side"] is None or rec["exit"] is None:
+            continue
+        key = (in_ids[rec["side"]], rec["exit"])
+        votes[key] = votes.get(key, 0) + 1
+    if not votes:
+        return None
+    p1 = ((in_ids[0], out_ids[0]), (in_ids[1], out_ids[1]))
+    p2 = ((in_ids[0], out_ids[1]), (in_ids[1], out_ids[0]))
+    s1 = votes.get(p1[0], 0) + votes.get(p1[1], 0)
+    s2 = votes.get(p2[0], 0) + votes.get(p2[1], 0)
+    best, alt, pairing = ((s1, s2, p1) if s1 >= s2 else (s2, s1, p2))
+    if best < CONFIG["min_bridge_count"]:
+        return None
+    if alt > 0 and best < CONFIG["min_bridge_factor"] * alt:
+        return None
+    logger.debug("Trestle iterative phasing: %s phased to %d/%d, "
+                 "votes %d vs %d", rep.path.name, phased_to, L, best, alt)
+    edge_map = {e.edge_id: e for e in rep.in_edges + rep.out_edges}
     return ((edge_map[pairing[0][0]], edge_map[pairing[0][1]]),
             (edge_map[pairing[1][0]], edge_map[pairing[1][1]]))
 

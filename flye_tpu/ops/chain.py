@@ -32,10 +32,13 @@ _NEG = jnp.int32(-(2 ** 30))
 _I0 = jnp.int32(0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_jump", "lookback"))
 def chain_dp(cur: jax.Array, ext: jax.Array, nvalid: jax.Array,
              k: int, max_jump: int, lookback: int):
     """Chain scores and parent pointers for a batch of match lists.
+
+    Dispatches to the VMEM-resident Pallas kernel on TPU
+    (ops/chain_pallas.py); the lax.scan formulation below is the CPU
+    fallback and the oracle the kernel is tested against.
 
     Args:
       cur, ext: [T, M] int32 match coordinates, each row sorted along the
@@ -53,6 +56,15 @@ def chain_dp(cur: jax.Array, ext: jax.Array, nvalid: jax.Array,
       score:  [T, M] int32 best chain score ending at each match.
       parent: [T, M] int32 predecessor index or -1.
     """
+    if jax.default_backend() == "tpu":
+        from flye_tpu.ops.chain_pallas import chain_dp_pallas
+        return chain_dp_pallas(cur, ext, nvalid, k, max_jump, lookback)
+    return _chain_dp_scan(cur, ext, nvalid, k, max_jump, lookback)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_jump", "lookback"))
+def _chain_dp_scan(cur: jax.Array, ext: jax.Array, nvalid: jax.Array,
+                   k: int, max_jump: int, lookback: int):
     T, M = cur.shape
     L = min(lookback, M)
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)

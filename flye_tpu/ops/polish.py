@@ -382,6 +382,11 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     if use_pallas is None:
         # the fused Pallas scoring path is the TPU default
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # buckets too large for VMEM (many branches x long windows)
+        # take the jnp/XLA scoring path instead
+        from flye_tpu.ops.polish_pallas import fits_vmem
+        use_pallas = fits_vmem(branches.shape[1], branches.shape[2])
     prep = None
     if use_pallas:
         from flye_tpu.ops.polish_pallas import prepare_branches_pallas

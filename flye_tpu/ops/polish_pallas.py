@@ -33,7 +33,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-_TILE_B = 32
+_TILE_B = 32  # max batch tile; Bb is always padded to a multiple of this
+
+
+def _pick_tile(Rp: int, W: int) -> int:
+    """Largest batch tile whose VMEM working set fits on-chip.
+
+    The kernels keep ~15-17 [tile, Rp, W] f32 planes resident (measured
+    from Mosaic scoped-allocation reports: match tables, gap tables,
+    streamed B rows with double buffering, F carry, shift-max
+    temporaries); budget 20 planes against 14 MB so every bucket that
+    compiles stays under the 16 MB scoped-VMEM limit.  Returns None if
+    no tile fits (caller falls back to the jnp/XLA scoring path)."""
+    for tile in (32, 16, 8):
+        if 20 * tile * Rp * W * 4 <= 14 * 1024 * 1024:
+            return tile
+    return None
+
+
+def fits_vmem(R: int, S: int) -> bool:
+    """Whether a [*, R, S] branch bucket can run through the fused
+    Pallas kernels on a 16 MB-VMEM core (e.g. 50-branch 640-wide
+    buckets from high-coverage windows cannot; the jnp path takes
+    those)."""
+    Rp = _round_up(R, 8)
+    W = _round_up(S + 1, 128)
+    return _pick_tile(Rp, W) is not None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -281,6 +306,11 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     _, Bp, Rp, W = sw_p.shape
     n_shifts = (W - 1).bit_length()
     pad_b = Bp - Bb
+    tile = _pick_tile(Rp, W)  # divides _TILE_B, so it divides Bp
+    if tile is None:
+        raise ValueError(
+            f"bucket Rp={Rp} W={W} exceeds VMEM even at tile 8; "
+            "guard calls with fits_vmem()")
 
     c1h = jax.nn.one_hot(cand, 4, dtype=jnp.float32)
     vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])
@@ -296,23 +326,23 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     ds_pad = jnp.pad(ds, ((0, pad_b), (0, 0)))               # [Bp, Cb+1]
     clen_p = jnp.pad(cand_len, (0, pad_b))[:, None]          # [Bp, 1]
 
-    nB = Bp // _TILE_B
+    nB = Bp // tile
     C1 = Cb + 1
 
     vmem_full = pl.BlockSpec(
-        (4, _TILE_B, Rp, W), lambda b, t: (0, b, 0, 0),
+        (4, tile, Rp, W), lambda b, t: (0, b, 0, 0),
         memory_space=pltpu.VMEM)
     vmem_brw = pl.BlockSpec(
-        (_TILE_B, Rp, W), lambda b, t: (b, 0, 0),
+        (tile, Rp, W), lambda b, t: (b, 0, 0),
         memory_space=pltpu.VMEM)
     vmem_br = pl.BlockSpec(
-        (_TILE_B, Rp), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+        (tile, Rp), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
     vmem_b1 = pl.BlockSpec(
-        (_TILE_B, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+        (tile, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
     # whole per-lane row span in one block (constant over t; columns
     # are indexed dynamically in-kernel)
     vmem_rows = pl.BlockSpec(
-        (_TILE_B, C1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+        (tile, C1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
 
     # ---- phase 1: backward rows ----
     bw = pl.pallas_call(
@@ -325,11 +355,11 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
             vmem_rows,                                # ds
             vmem_b1, vmem_br,
         ],
-        out_specs=pl.BlockSpec((1, _TILE_B, Rp, W),
+        out_specs=pl.BlockSpec((1, tile, Rp, W),
                                lambda b, t: (Cb - 1 - t, b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Cb, Bp, Rp, W), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_TILE_B, Rp, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, Rp, W), jnp.float32)],
         interpret=interpret,
     )(sw_p, sg_p, cand_pad, vgap_pad, ds_pad, clen_p, blen_p)
 
@@ -342,7 +372,7 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
             clamped = (min(i, cap) if isinstance(i, int)
                        else jnp.minimum(i, cap))
             return (clamped, b, 0, 0)
-        return pl.BlockSpec((1, _TILE_B, Rp, W), index,
+        return pl.BlockSpec((1, tile, Rp, W), index,
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -364,7 +394,7 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
             vmem_rows,                                # ins chr
             vmem_rows,                                # sub
             vmem_rows,                                # sub chr
-            pl.BlockSpec((_TILE_B, 128), lambda b, t: (b, 0),
+            pl.BlockSpec((tile, 128), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),    # total
         ],
         out_shape=[
@@ -375,7 +405,7 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
             jax.ShapeDtypeStruct((Bp, C1), jnp.int32),
             jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_TILE_B, Rp, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, Rp, W), jnp.float32)],
         interpret=interpret,
     )(sw_p, gp_p, sg_p, bw, bw, cand_pad, vgap_pad, clen_p, blen_p,
       bmask_p, xgaps)

@@ -29,6 +29,7 @@ of repetitive k-mers but keeps them queryable via `is_repetitive`.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import List, Optional, Sequence, Tuple
 
@@ -46,6 +47,43 @@ logger = logging.getLogger("flye_tpu")
 # number of distinct compiled shapes small)
 _BUCKETS = [2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144,
             524288, 1048576, 4194304, 16777216, 67108864, 268435456]
+
+
+@jax.jit
+def _lookup_device(uniq, q, rmax):
+    """Shared searchsorted+verify program; uniq and q are padded to
+    power-of-two lengths so all indexes/batches reuse one compile."""
+    row = jnp.searchsorted(uniq, q)
+    row = jnp.clip(row, 0, rmax)
+    return row, uniq[row] == q
+
+
+@functools.partial(jax.jit, static_argnames=("k", "narrow"))
+def _probe_device(batch, lens, uniq, repet, rmax, k, narrow):
+    """Fused canonicalize + index probe for a padded query batch.
+
+    Packs (row, hit, repetitive, is_fwd) into ONE integer per position
+    so the whole probe costs a single device round trip — separate
+    fetches each pay ~28 ms tunnel latency at ~100 MB/s, which
+    dominated mapping wall time.  With narrow=True (row ids < 2^28,
+    i.e. any index below ~270M distinct k-mers) the pack is int32,
+    halving the transferred bytes."""
+    from flye_tpu.ops.kmers import canonical_kmers
+    canon, is_fwd, valid = canonical_kmers(batch, lens, k)
+    flat = canon.reshape(-1)
+    row = jnp.clip(jnp.searchsorted(uniq, flat), 0, rmax)
+    found = (uniq[row] == flat).reshape(canon.shape) & valid
+    rep = repet[row].reshape(canon.shape) & found
+    hit = found & ~rep
+    if narrow:
+        return (row.astype(jnp.int32).reshape(canon.shape)
+                | (hit.astype(jnp.int32) << 28)
+                | (rep.astype(jnp.int32) << 29)
+                | (is_fwd.astype(jnp.int32) << 30))
+    return (row.astype(jnp.int64).reshape(canon.shape)
+            | (hit.astype(jnp.int64) << 32)
+            | (rep.astype(jnp.int64) << 33)
+            | (is_fwd.astype(jnp.int64) << 34))
 
 
 def _bucket_len(n: int) -> int:
@@ -146,6 +184,7 @@ class KmerIndex:
         n = len(kmers)
         if n == 0:
             self.uniq_kmers = jnp.zeros(0, dtype=jnp.int64)
+            self._uniq_dev = None
             self.offsets = np.zeros(1, dtype=np.int64)
             self.counts = np.zeros(0, dtype=np.int32)
             self.post_seq = seq
@@ -182,6 +221,7 @@ class KmerIndex:
             counts = np.where(repetitive, 0, counts)
 
         self.uniq_kmers = jnp.asarray(uniq)
+        self._uniq_dev = None  # lazy padded device table (see lookup)
         self.offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(counts, out=self.offsets[1:])
         self.counts = counts.astype(np.int32)
@@ -296,13 +336,59 @@ class KmerIndex:
 
     def lookup(self, query_kmers: np.ndarray):
         """[Q] int64 canonical kmers -> (row [Q] into uniq arrays,
-        found [Q] bool). Device op."""
-        q = jnp.asarray(query_kmers)
-        row = jnp.searchsorted(self.uniq_kmers, q)
-        row = jnp.clip(row, 0, max(0, self.num_kmers - 1))
-        found = (self.uniq_kmers[row] == q) if self.num_kmers else (
-            jnp.zeros(q.shape, dtype=bool))
-        return np.asarray(row), np.asarray(found)
+        found [Q] bool). Device op.
+
+        Q is padded up to a power of two before the device call: the
+        raw query count differs on every batch, and each distinct shape
+        would compile its own searchsorted+gather program (~0.6 s on
+        the remote TPU compiler — this dominated mapping wall time)."""
+        q = np.asarray(query_kmers)
+        Q = len(q)
+        if Q == 0 or self.num_kmers == 0:
+            z = np.zeros(Q, dtype=np.int64)
+            return z, np.zeros(Q, dtype=bool)
+        Qp = 1 << max(10, (Q - 1).bit_length())
+        qp = np.full(Qp, -1, dtype=np.int64)  # sentinel: below any kmer
+        qp[:Q] = q
+        up, _ = self._device_tables()
+        row, found = _lookup_device(up, jnp.asarray(qp),
+                                    jnp.int64(self.num_kmers - 1))
+        return (np.asarray(row[:Q], dtype=np.int64),
+                np.asarray(found[:Q]))
+
+    def _device_tables(self):
+        """Padded device copies of (uniq_kmers, repetitive): power-of-two
+        length with max-sentinel / False tails, so table length does not
+        key new compiles per index."""
+        up = getattr(self, "_uniq_dev", None)
+        if up is None:
+            U = self.num_kmers
+            Up = 1 << max(10, (U - 1).bit_length())
+            arr = np.full(Up, np.iinfo(np.int64).max, np.int64)
+            arr[:U] = np.asarray(self.uniq_kmers)
+            up = self._uniq_dev = jnp.asarray(arr)
+            rp = np.zeros(Up, dtype=bool)
+            rp[:U] = self.repetitive
+            self._rep_dev = jnp.asarray(rp)
+        return up, self._rep_dev
+
+    def probe_batch(self, batch, lens):
+        """Fused canonicalize + lookup over a padded query batch.
+
+        Returns (row [rows,pad] int, hit, rep, fwd bool arrays) from one
+        packed device round trip (see _probe_device)."""
+        up, rp = self._device_tables()
+        narrow = self.num_kmers < (1 << 28)
+        packed = np.asarray(_probe_device(
+            jnp.asarray(batch), jnp.asarray(lens), up, rp,
+            jnp.int64(max(0, self.num_kmers - 1)), k=self.k,
+            narrow=narrow))
+        shift = 28 if narrow else 32
+        row = (packed & ((1 << shift) - 1)).astype(np.int64)
+        hit = ((packed >> shift) & 1).astype(bool)
+        rep = ((packed >> (shift + 1)) & 1).astype(bool)
+        fwd = ((packed >> (shift + 2)) & 1).astype(bool)
+        return row, hit, rep, fwd
 
     def kmer_freq(self, query_kmers: np.ndarray) -> np.ndarray:
         row, found = self.lookup(query_kmers)

@@ -157,6 +157,36 @@ class ShardedKmerIndex(KmerIndex):
         logger.debug("Mesh shard sizes: %s", np.diff(base).tolist())
         return idx
 
+    def _device_tables(self):
+        """Device probe tables for the fused probe path.
+
+        uniq_kmers is sorted per shard range, not globally, so the base
+        class's global searchsorted would mis-route queries.  Shards
+        partition the hash space, so keys are globally distinct: probe a
+        globally-sorted view and remap rows back through the argsort
+        permutation (probe_batch below)."""
+        up = getattr(self, "_uniq_dev", None)
+        if up is None:
+            U = self.num_kmers
+            uniq = np.asarray(self.uniq_kmers)
+            order = np.argsort(uniq, kind="stable")
+            self._probe_order = order
+            Up = 1 << max(10, (U - 1).bit_length())
+            arr = np.full(Up, np.iinfo(np.int64).max, np.int64)
+            arr[:U] = uniq[order]
+            up = self._uniq_dev = jnp.asarray(arr)
+            rp = np.zeros(Up, dtype=bool)
+            rp[:U] = self.repetitive[order]
+            self._rep_dev = jnp.asarray(rp)
+        return up, self._rep_dev
+
+    def probe_batch(self, batch, lens):
+        row, hit, rep, fwd = super().probe_batch(batch, lens)
+        order = getattr(self, "_probe_order", None)
+        if order is not None and len(order):
+            row = order[np.clip(row, 0, len(order) - 1)]
+        return row, hit, rep, fwd
+
     def lookup(self, query_kmers: np.ndarray):
         """Route each query to its owning shard's key range."""
         if self.num_kmers == 0:

@@ -28,7 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -(2 ** 30)
 _TB = 128    # batch rows per grid program (lane dim)
-_MC = 2048   # match-axis chunk length (sublane dim)
+# Match-axis chunk length (sublane dim).  VMEM stack per program is
+# in+out double-buffered blocks (4 x Mc x 128 x 4B x 2) plus 3 carry
+# scratches ((L+Mc) x 128 x 4B): at Mc=2048 with the engine's L=1024
+# lookback this tops the 16 MB scoped-vmem limit on v5e (observed
+# 17.1M); Mc=1024 bounds it at ~7.3 MB for any L <= 1024.
+_MC = 1024
 _U = 8       # columns per unrolled block (one sublane tile)
 
 

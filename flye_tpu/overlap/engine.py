@@ -96,24 +96,18 @@ class OverlapEngine:
         padded_sids = list(sids) + [sids[-1]] * (rows - len(sids))
         batch, lens = query_store.padded_batch(padded_sids, pad)
         lens[len(sids):] = 0  # padding rows contribute nothing
-        canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
-        canon = np.asarray(canon)
-        is_fwd = np.asarray(is_fwd)
-        valid = np.asarray(valid)
-
-        rows_q, cols_q = np.nonzero(valid)
-        row, found = self.index.lookup(canon[rows_q, cols_q])
-        rep = found & self.index.repetitive[row]
-        hit = found & ~rep
+        # fused canonicalize+lookup: ONE packed device->host transfer
+        # (separate canon/is_fwd/valid fetches each pay ~28ms tunnel
+        # latency at ~100 MB/s; they dominated mapping wall time)
+        row_all, hit_all, rep_all, fwd_all = self.index.probe_batch(
+            batch, lens)
 
         out = []
         for qi, sid in enumerate(sids):
-            mine = rows_q == qi
-            filtered_pos = cols_q[mine & rep]
-            sel = mine & hit
-            qpos = cols_q[sel]
-            rows_i = row[sel]
-            qfwd = is_fwd[qi][qpos]
+            filtered_pos = np.flatnonzero(rep_all[qi])
+            qpos = np.flatnonzero(hit_all[qi])
+            rows_i = row_all[qi][qpos]
+            qfwd = fwd_all[qi][qpos]
 
             cnt = self.index.counts[rows_i].astype(np.int64)
             starts = self.index.offsets[rows_i]
@@ -293,7 +287,12 @@ class OverlapEngine:
                 nv[r] = m
             score, parent = chain_dp(cur, ext, nv, self.k, self.max_jump,
                                      lookback=min(_LOOKBACK, bucket))
-            score, parent = np.asarray(score), np.asarray(parent)
+            # one stacked fetch, sliced to the live rows: each separate
+            # device->host fetch pays ~28ms tunnel latency + pad rows
+            import jax.numpy as jnp
+            both = np.asarray(jnp.stack([score[:len(gids)],
+                                         parent[:len(gids)]]))
+            score, parent = both[0], both[1]
             for r, gi in enumerate(gids):
                 results[gi] = (score[r], parent[r])
         return results

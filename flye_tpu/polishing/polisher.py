@@ -42,6 +42,35 @@ def _bucket_for(c: int, s: int) -> Tuple[int, int]:
     return _SIZE_BUCKETS[-1]
 
 
+def _coalesce(items: Dict[Tuple[int, int, int], List],
+              min_batch: int = 48) -> Dict[Tuple[int, int, int], List]:
+    """Merge small buckets into larger shapes.
+
+    Every distinct (cand-buffer, branch-buffer, branch-count) bucket
+    shape compiles its own kernel set (~10 s through the remote TPU
+    compiler) — on small genomes that dominates polishing wall time.
+    Buckets below min_batch are folded into the next bucket by cost,
+    taking the elementwise max of the dims (always a valid superset
+    shape); the wasted lanes are bounded by min_batch per merge."""
+    keys = sorted(items, key=lambda k: (k[0] * k[1] * k[2], k))
+    out: Dict[Tuple[int, int, int], List] = {}
+    carry_key: Optional[Tuple[int, int, int]] = None
+    carry: List = []
+    for pos, orig in enumerate(keys):
+        key, lst = orig, items[orig]
+        if carry:
+            key = tuple(max(a, b) for a, b in zip(key, carry_key))
+            lst = carry + lst
+            carry, carry_key = [], None
+        if len(lst) < min_batch and pos < len(keys) - 1:
+            carry, carry_key = lst, key
+        else:
+            out.setdefault(key, []).extend(lst)
+    if carry:
+        out.setdefault(carry_key, []).extend(carry)
+    return out
+
+
 def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
                 cb: int, sb: int, rb: int, subs: np.ndarray) -> None:
     """Polish a homogeneous bucket of bubbles in device batches."""
@@ -49,13 +78,20 @@ def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
     max_b = max(1, min(512, _MEM_BUDGET // per_lane))
     for lo in range(0, len(items), max_b):
         chunk = items[lo:lo + max_b]
+        # quantize the batch so short tail chunks reuse compiled shapes
         B = len(chunk)
+        for q in (32, 128, 512):
+            if B <= q <= max_b:
+                B = q
+                break
         cand = np.zeros((B, cb), np.uint8)
         clen = np.zeros(B, np.int32)
         branches = np.zeros((B, rb, sb), np.uint8)
         blen = np.zeros((B, rb), np.int32)
         bmask = np.zeros((B, rb), bool)
-        for i, (b, brs) in enumerate(chunk):
+        for i in range(B):
+            # pad lanes replicate item 0 so they converge like real work
+            b, brs = chunk[i] if i < len(chunk) else chunk[0]
             seq = b.polished if b.polished is not None else b.candidate
             n = min(len(seq), cb)
             cand[i, :n] = seq[:n]
@@ -92,7 +128,7 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
             cb, sb = _bucket_for(len(b.candidate),
                                  max(len(x) for x in sel))
             items.setdefault((cb, sb, 8), []).append((b, sel))
-        for (cb, sb, rb), lst in sorted(items.items()):
+        for (cb, sb, rb), lst in sorted(_coalesce(items).items()):
             _run_bucket(lst, cb, sb, rb, subs)
 
     # phase 2: all branches
@@ -105,7 +141,7 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
         rb = next((r for r in _R_BUCKETS if len(b.branches) <= r),
                   _R_BUCKETS[-1])
         items.setdefault((cb, sb, rb), []).append((b, b.branches))
-    for (cb, sb, rb), lst in sorted(items.items()):
+    for (cb, sb, rb), lst in sorted(_coalesce(items).items()):
         _run_bucket(lst, cb, sb, rb, subs)
 
     # phase 3: homopolymer + dinucleotide re-estimation (reference:

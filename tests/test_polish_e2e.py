@@ -67,3 +67,28 @@ def test_polish_no_reads_is_noop(rng):
     store = SequenceStore()  # no reads
     polished = polish([("c1", genome)], store, "pacbio", num_iters=1)
     np.testing.assert_array_equal(polished[0][1], genome)
+
+
+def test_coalesce_buckets():
+    """Small buckets merge upward into superset shapes; big ones stay."""
+    from flye_tpu.polishing.polisher import _coalesce
+    items = {
+        (64, 96, 8): list(range(5)),
+        (64, 96, 16): list(range(3)),
+        (160, 240, 8): list(range(100)),
+        (384, 576, 56): list(range(2)),
+    }
+    out = _coalesce(items, min_batch=48)
+    assert sum(len(v) for v in out.values()) == 110
+    for (cb, sb, rb), lst in out.items():
+        assert (cb, sb) in ((64, 96), (160, 240), (384, 576), (768, 1152),
+                            (1536, 2304)) or cb >= 64
+    # the two tiny 64-buckets merged forward into the 160 bucket
+    assert any(len(v) >= 100 for v in out.values())
+    # a single bucket in, single bucket out
+    assert _coalesce({(64, 96, 8): list(range(3))}, 48) == {
+        (64, 96, 8): [0, 1, 2]}
+    # trailing small bucket folds back into the carried shape
+    out2 = _coalesce({(64, 96, 8): list(range(60)),
+                      (1536, 2304, 56): [0]}, 48)
+    assert sum(len(v) for v in out2.values()) == 61

@@ -56,6 +56,12 @@ class Job:
     def run(self) -> None:
         raise NotImplementedError
 
+    def load_state(self) -> None:
+        """Rebuild this stage's in-memory context from its on-disk
+        outputs; called instead of run() for stages skipped by
+        --resume/--resume-from (reference resumes the same way: later
+        stages reload earlier stages' files, flye/main.py:539-576)."""
+
     def completed(self) -> bool:
         return all(os.path.exists(p) for p in self.out_files.values())
 
@@ -196,22 +202,67 @@ class JobRepeat(Job):
         self.ctx.repeat_state = (graph, aligner, inferer)
 
 
+def _load_repeat_dumps(ctx):
+    """Reload (graph, aligner) from stage dumps on resume; prefers
+    Trestle's updated graph dump over the repeat stage's when present
+    (same precedence as the reference, flye/main.py:375-415)."""
+    from flye_tpu.repeat.graph import RepeatGraph
+    from flye_tpu.repeat.read_aligner import ReadAligner
+    reads = ctx.load_reads()
+    disjointigs = SequenceStore.from_file(
+        os.path.join(ctx.out_dir, "10-consensus", "consensus.fasta"))
+    d = os.path.join(ctx.out_dir, "20-repeat")
+    graph_dump = os.path.join(ctx.out_dir, "25-trestle",
+                              "repeat_graph_dump")
+    if not os.path.exists(graph_dump):
+        graph_dump = os.path.join(d, "repeat_graph_dump")
+    graph = RepeatGraph.load(disjointigs, graph_dump)
+    aligner = ReadAligner.load(
+        graph, reads, ctx.cfg, ctx.min_overlap,
+        os.path.join(d, "read_alignment_dump"))
+    return graph, aligner
+
+
+def _graph_mean_coverage(graph) -> int:
+    """Length-weighted mean edge coverage recomputed from a loaded
+    graph dump (stands in for MultiplicityInferer.mean_coverage on
+    resume; reference estimates it from alignments the same way,
+    multiplicity_inferer.cpp:14-90)."""
+    num = den = 0
+    for edge in graph.edges.values():
+        if edge.mean_coverage > 0 and edge.length() > 0:
+            num += edge.mean_coverage * edge.length()
+            den += edge.length()
+    return max(1, int(num / den)) if den else 1
+
+
 class JobTrestle(Job):
+    """Unbridged-repeat resolution.  File contract mirrors the
+    reference (flye/main.py:375-415): consumes the 20-repeat dumps,
+    writes an updated repeat_graph_dump into its own directory which
+    the contigger then prefers over the 20-repeat one."""
+
     name = "trestle"
 
     def __init__(self, ctx):
         super().__init__(ctx)
+        d = ctx.subdir("25-trestle")
+        self.out_files["graph"] = os.path.join(d, "repeat_graph_dump")
 
     def run(self):
         from flye_tpu.trestle import resolve_unbridged_repeats
-        state = getattr(self.ctx, "repeat_state", None)
-        if state is None:
-            raise PipelineException("trestle requires the repeat stage "
-                                    "in the same run")
-        graph, aligner, inferer = state
         reads = self.ctx.load_reads()
-        resolve_unbridged_repeats(graph, reads, aligner,
-                                  inferer.mean_coverage)
+        state = getattr(self.ctx, "repeat_state", None)
+        if state is None:  # resume: reload from the repeat-stage dumps
+            graph, aligner = _load_repeat_dumps(self.ctx)
+            mean_cov = _graph_mean_coverage(graph)
+            self.ctx.repeat_state = (graph, aligner, None)
+        else:
+            graph, aligner, inferer = state
+            mean_cov = (inferer.mean_coverage if inferer is not None
+                        else _graph_mean_coverage(graph))
+        resolve_unbridged_repeats(graph, reads, aligner, mean_cov)
+        graph.store(self.out_files["graph"])
 
 
 class JobContigger(Job):
@@ -229,24 +280,45 @@ class JobContigger(Job):
         state = getattr(self.ctx, "repeat_state", None)
         if state is None:
             # resume: reload the graph and alignments from the repeat
-            # stage dumps
-            from flye_tpu.repeat.graph import RepeatGraph
-            from flye_tpu.repeat.read_aligner import ReadAligner
-            reads = self.ctx.load_reads()
-            disjointigs = SequenceStore.from_file(
-                os.path.join(self.ctx.out_dir, "10-consensus",
-                             "consensus.fasta"))
-            d = os.path.join(self.ctx.out_dir, "20-repeat")
-            graph = RepeatGraph.load(
-                disjointigs, os.path.join(d, "repeat_graph_dump"))
-            aligner = ReadAligner.load(
-                graph, reads, self.ctx.cfg, self.ctx.min_overlap,
-                os.path.join(d, "read_alignment_dump"))
+            # stage dumps (trestle's updated graph wins if present,
+            # matching the reference's stage file contract)
+            graph, aligner = _load_repeat_dumps(self.ctx)
             state = (graph, aligner, None)
         graph, aligner, inferer = state
         contigs, links = generate_contigs(
             graph, aligner, self.ctx.cfg,
             out_dir=self.ctx.subdir("30-contigger"))
+        self.ctx.contigs = contigs
+        self.ctx.links = links
+
+    def load_state(self):
+        """Rebuild ctx.contigs/ctx.links from the stage's files."""
+        from flye_tpu.contigger.extender import ContigInfo
+        store = SequenceStore.from_file(self.out_files["contigs"])
+        by_name = {store.name(i): store.get(i) for i in store.ids()}
+        contigs = []
+        with open(self.out_files["stats"]) as f:
+            next(f)  # header
+            for line in f:
+                (name, length, cov, circ, rep, mult, alt,
+                 path) = line.rstrip("\n").split("\t")
+                seq = by_name.get(name)
+                if seq is None:
+                    continue
+                contigs.append(ContigInfo(
+                    name=name, sequence=seq, length=int(length),
+                    coverage=int(cov), circular=circ == "Y",
+                    repetitive=rep == "Y", multiplicity=int(mult),
+                    alt_group=(-1 if alt == "*" else int(alt)),
+                    graph_path=path))
+        links = []
+        links_file = os.path.join(self.ctx.subdir("30-contigger"),
+                                  "scaffolds_links.txt")
+        if os.path.exists(links_file):
+            with open(links_file) as f:
+                for line in f:
+                    a, b = line.rstrip("\n").split("\t")
+                    links.append((a, b))
         self.ctx.contigs = contigs
         self.ctx.links = links
 
@@ -269,12 +341,20 @@ class JobPlasmids(Job):
                                           self.ctx.platform)
         write_fasta(plasmids, self.out_files["plasmids"])
         # append to the contig set for polishing/finalization
+        self._append(plasmids)
+
+    def _append(self, plasmids):
         from flye_tpu.contigger.extender import ContigInfo
         for name, codes in plasmids:
             self.ctx.contigs.append(ContigInfo(
                 name=name, sequence=codes, length=len(codes),
                 coverage=0, circular=True, repetitive=False,
                 multiplicity=1, alt_group=-1, graph_path="*"))
+
+    def load_state(self):
+        store = SequenceStore.from_file(self.out_files["plasmids"])
+        self._append([(store.name(i), store.get(i))
+                      for i in store.ids()])
 
 
 class JobPolishing(Job):
@@ -318,6 +398,15 @@ class JobPolishing(Job):
                 f.write(f"{n}\t{len(s)}\t{int(coverage.get(n, 0))}\n")
         # update in-memory contigs with polished sequences
         by_name = dict(kept)
+        for c in getattr(self.ctx, "contigs", []):
+            if c.name in by_name:
+                c.sequence = by_name[c.name]
+                c.length = len(c.sequence)
+
+    def load_state(self):
+        """Reapply polished sequences to ctx.contigs from files."""
+        store = SequenceStore.from_file(self.out_files["polished"])
+        by_name = {store.name(i): store.get(i) for i in store.ids()}
         for c in getattr(self.ctx, "contigs", []):
             if c.name in by_name:
                 c.sequence = by_name[c.name]
@@ -395,6 +484,7 @@ def run_pipeline(args) -> int:
 
     for i, job in enumerate(jobs):
         if i < start_from:
+            job.load_state()
             continue
         job.save_checkpoint()
         logger.info(">>> STAGE: %s", job.name)

@@ -39,12 +39,17 @@ import jax.numpy as jnp
 NEG = jnp.float32(-1e30)
 
 
-def _score_edits_jnp(cand, cand_len, branches, blen, bmask, subs):
-    """Score every single-base edit against all branches — the pure-jnp
-    formulation (two lax.scans materializing full F/B tensors).
+def _score_edits_raw_jnp(cand, cand_len, branches, blen, bmask, subs):
+    """Raw per-character edit scores against all branches — the
+    pure-jnp formulation (two lax.scans materializing full F/B
+    tensors).
 
-    Returns (total [B], del_sc [Cb,B], ins_sc [Cb+1,B], ins_chr,
-    sub_sc [Cb,B], sub_chr)."""
+    Returns (total [B], del_raw [Cb,B], ins4 [4,Cb+1,B],
+    sub4 [4,Cb,B]) WITHOUT the position-validity or cand!=x masks —
+    those are per-lane and applied by _finish_scores, after the
+    branch-group reduction (see polish_bubbles): scores are sums of
+    per-branch maxima, so groups of branches scored in separate lanes
+    sum exactly, but only BEFORE the 4-character argmax."""
     Bb, Cb = cand.shape
     _, R, S = branches.shape
     subs = subs.astype(jnp.float32)
@@ -170,18 +175,9 @@ def _score_edits_jnp(cand, cand_len, branches, blen, bmask, subs):
     # current total score = B[0][0]
     total = jnp.sum(Bm[0, :, :, 0] * bmaskf, axis=1)         # [B]
 
-    pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :],
-                           0.0, NEG)
-    pvalid_ins = jnp.where(ppos_c1[:, None] <= cand_len[None, :],
-                           0.0, NEG)
+    del_raw = masked_reduce(F[:-1], Bm[1:])                  # [Cb, B]
 
-    del_sc = masked_reduce(F[:-1], Bm[1:]) + pvalid_del      # [Cb, B]
-
-    ins_sc = jnp.full((Cb + 1, Bb), NEG)
-    ins_chr = jnp.zeros((Cb + 1, Bb), jnp.int32)
-    sub_sc = jnp.full((Cb, Bb), NEG)
-    sub_chr = jnp.zeros((Cb, Bb), jnp.int32)
-    cand_t = cand.astype(jnp.int32).T                        # [Cb, B]
+    ins4, sub4 = [], []
     for x in range(4):
         mx = sw[x]                                           # [B,R,S]
         xgap = subs[x, 4]
@@ -189,49 +185,106 @@ def _score_edits_jnp(cand, cand_len, branches, blen, bmask, subs):
             [F[:, :, :, :1] + xgap,
              jnp.maximum(F[:, :, :, :-1] + mx[None],
                          F[:, :, :, 1:] + xgap)], axis=3)
-        ins_x = masked_reduce(subx, Bm) + pvalid_ins         # [Cb+1, B]
-        better = ins_x > ins_sc
-        ins_sc = jnp.where(better, ins_x, ins_sc)
-        ins_chr = jnp.where(better, x, ins_chr)
+        ins4.append(masked_reduce(subx, Bm))                 # [Cb+1, B]
+        sub4.append(masked_reduce(subx[:-1], Bm[1:]))        # [Cb, B]
+    return total, del_raw, jnp.stack(ins4), jnp.stack(sub4)
 
-        sub_x = masked_reduce(subx[:-1], Bm[1:]) + pvalid_del
-        sub_x = sub_x + jnp.where(cand_t == x, NEG, 0.0)
-        better = sub_x > sub_sc
-        sub_sc = jnp.where(better, sub_x, sub_sc)
-        sub_chr = jnp.where(better, x, sub_chr)
+
+def _finish_scores(cand, cand_len, total, del_raw, ins4, sub4,
+                   groups: int):
+    """Reduce raw per-char planes over branch groups, then apply the
+    per-lane masks and the 4-char argmax (earliest char wins ties,
+    matching the reference's scan order).
+
+    Raw inputs have Bg = B*groups lanes (lane b*groups+j holds group j
+    of bubble b); outputs have B lanes."""
+    if groups > 1:
+        Bg = total.shape[0]
+        B = Bg // groups
+
+        def red(a):  # [..., Bg] -> [..., B]
+            return a.reshape(*a.shape[:-1], B, groups).sum(axis=-1)
+
+        total, del_raw = red(total), red(del_raw)
+        ins4, sub4 = red(ins4), red(sub4)
+    Cb = del_raw.shape[0]
+    Bb = total.shape[0]
+    ppos_c = jnp.arange(Cb, dtype=jnp.int32)
+    ppos_c1 = jnp.arange(Cb + 1, dtype=jnp.int32)
+    pvalid_del = jnp.where(ppos_c[:, None] < cand_len[None, :],
+                           0.0, NEG)
+    pvalid_ins = jnp.where(ppos_c1[:, None] <= cand_len[None, :],
+                           0.0, NEG)
+    del_sc = del_raw + pvalid_del
+    ins_all = ins4 + pvalid_ins[None]                        # [4,Cb+1,B]
+    cand_t = cand.astype(jnp.int32).T                        # [Cb, B]
+    xs = jnp.arange(4, dtype=jnp.int32)[:, None, None]
+    sub_all = (sub4 + pvalid_del[None]
+               + jnp.where(cand_t[None] == xs, NEG, 0.0))
+    ins_chr = jnp.argmax(ins_all, axis=0).astype(jnp.int32)
+    ins_sc = jnp.max(ins_all, axis=0)
+    sub_chr = jnp.argmax(sub_all, axis=0).astype(jnp.int32)
+    sub_sc = jnp.max(sub_all, axis=0)
     return total, del_sc, ins_sc, ins_chr, sub_sc, sub_chr
+
+
+def _score_edits_jnp(cand, cand_len, branches, blen, bmask, subs):
+    """Score every single-base edit against all branches.
+
+    Returns (total [B], del_sc [Cb,B], ins_sc [Cb+1,B], ins_chr,
+    sub_sc [Cb,B], sub_chr)."""
+    raw = _score_edits_raw_jnp(cand, cand_len, branches, blen, bmask,
+                               subs)
+    return _finish_scores(cand, cand_len, *raw, groups=1)
 
 
 def _polish_step(cand, cand_len, done, streak, it_count,
                  branches, blen, bmask, subs, block_size: int = 64,
                  steepest: bool = True, use_pallas: bool = False,
-                 prep=None):
+                 prep=None, groups: int = 1):
     """One hill-climbing step over the whole batch (the convergence
     loop is driven from the host — a lax.while_loop formulation
     miscompiled the loop-carried suffix scan on this JAX version, and
     host stepping also gives early exit).  Scoring runs either as the
     jnp scans or the fused Pallas kernels (TPU); edit selection and the
-    candidate rebuild are a separate jitted stage."""
-    if use_pallas:
-        from flye_tpu.ops.polish_pallas import score_edits_pallas
-        scores = score_edits_pallas(cand, cand_len, branches, blen,
-                                    bmask, subs, prep=prep)
+    candidate rebuild are a separate jitted stage.
+
+    groups > 1: branches/blen/bmask carry B*groups lanes of <=8
+    branches each (see polish_bubbles); raw scores reduce over groups
+    inside _select_apply before the char argmax."""
+    if groups > 1:
+        cand_s, clen_s = _expand_lanes(cand, cand_len, groups=groups)
     else:
-        scores = _score_jit(cand, cand_len, branches, blen, bmask,
-                            subs)
+        cand_s, clen_s = cand, cand_len
+    if use_pallas:
+        from flye_tpu.ops.polish_pallas import score_edits_pallas_raw
+        raw = score_edits_pallas_raw(cand_s, clen_s, branches, blen,
+                                     bmask, subs, prep=prep)
+    else:
+        raw = _score_raw_jit(cand_s, clen_s, branches, blen, bmask,
+                             subs)
     return _select_apply(cand, cand_len, done, streak, it_count,
-                         *scores, block_size=block_size,
+                         *raw, groups=groups, block_size=block_size,
                          steepest=steepest)
 
 
-_score_jit = jax.jit(_score_edits_jnp)
+_score_raw_jit = jax.jit(_score_edits_raw_jnp)
+
+
+@functools.partial(jax.jit, static_argnames=("groups",))
+def _expand_lanes(cand, cand_len, groups: int):
+    return (jnp.repeat(cand, groups, axis=0),
+            jnp.repeat(cand_len, groups, axis=0))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_size", "steepest"))
+                   static_argnames=("groups", "block_size", "steepest"))
 def _select_apply(cand, cand_len, done, streak, it_count,
-                  total, del_sc, ins_sc, ins_chr, sub_sc, sub_chr,
+                  total, del_raw, ins4, sub4, groups: int = 1,
                   block_size: int = 64, steepest: bool = True):
+    (total, del_sc, ins_sc, ins_chr, sub_sc,
+     sub_chr) = _finish_scores(cand, cand_len, total, del_raw, ins4,
+                               sub4, groups)
     Bb, Cb = cand.shape
     G = block_size if block_size > 0 else Cb + 1
     nb = -(-(Cb + 1) // G)
@@ -379,14 +432,35 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     """
     import numpy as np
 
+    # Branch-group tiling: buckets with many branches split into lanes
+    # of <=8 branches (score sums over branches decompose exactly; the
+    # char argmax happens after the group reduction in _select_apply).
+    # This keeps the Pallas working set at Rp=8 regardless of branch
+    # count — without it, 32/56-branch buckets fell off the VMEM path
+    # onto the jnp formulation whose HBM footprint forced batch size 1
+    # (observed 877 single-bubble kernel calls on an E. coli run).
+    R = branches.shape[1]
+    groups = max(1, -(-R // 8)) if R > 8 else 1
+    if groups > 1:
+        B0, _, S = branches.shape
+        pad_r = groups * 8 - R
+        branches = np.pad(np.asarray(branches),
+                          ((0, 0), (0, pad_r), (0, 0)))
+        blen = np.pad(np.asarray(blen), ((0, 0), (0, pad_r)))
+        bmask = np.pad(np.asarray(bmask), ((0, 0), (0, pad_r)))
+        branches = branches.reshape(B0 * groups, 8, S)
+        blen = blen.reshape(B0 * groups, 8)
+        bmask = bmask.reshape(B0 * groups, 8)
+
     if use_pallas is None:
         # the fused Pallas scoring path is the TPU default
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        # buckets too large for VMEM (many branches x long windows)
-        # take the jnp/XLA scoring path instead
+        # buckets too large for VMEM (very long windows) take the
+        # jnp/XLA scoring path instead
         from flye_tpu.ops.polish_pallas import fits_vmem
-        use_pallas = fits_vmem(branches.shape[1], branches.shape[2])
+        use_pallas = fits_vmem(branches.shape[1], branches.shape[2],
+                               cand.shape[1])
     prep = None
     if use_pallas:
         from flye_tpu.ops.polish_pallas import prepare_branches_pallas
@@ -410,7 +484,8 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
         cand, cand_len, done, streak, score = _polish_step(
             cand, cand_len, done, streak, jnp.int32(it),
             branches, blen, bmask, subs, block_size=block_size,
-            steepest=steepest, use_pallas=bool(use_pallas), prep=prep)
+            steepest=steepest, use_pallas=bool(use_pallas), prep=prep,
+            groups=groups)
         if (it + 1) % poll_every == 0 or it == max_iters - 1:
             done_h = np.asarray(done)
             iters = np.where(done_h, iters, it + 1)

@@ -36,29 +36,32 @@ NEG = -1e30
 _TILE_B = 32  # max batch tile; Bb is always padded to a multiple of this
 
 
-def _pick_tile(Rp: int, W: int) -> int:
+def _pick_tile(Rp: int, W: int, C1: int) -> int:
     """Largest batch tile whose VMEM working set fits on-chip.
 
-    The kernels keep ~15-17 [tile, Rp, W] f32 planes resident (measured
-    from Mosaic scoped-allocation reports: match tables, gap tables,
-    streamed B rows with double buffering, F carry, shift-max
-    temporaries); budget 20 planes against 14 MB so every bucket that
-    compiles stays under the 16 MB scoped-VMEM limit.  Returns None if
-    no tile fits (caller falls back to the jnp/XLA scoring path)."""
+    Working-set model (calibrated against Mosaic scoped-allocation
+    reports): ~20 [tile, Rp, W] f32 planes (match tables, gap tables,
+    streamed B rows with double buffering, F carry, shift-max and
+    4-char loop temporaries) plus the double-buffered score outputs
+    (del + 4-char ins/sub planes = 9 x [tile, C1]).  The observed OOM
+    margin is thin (a (32, 8, 640, 385) bucket measured 16.19M against
+    the 16M scoped-VMEM limit), so budget 13 MB.  Returns None if no
+    tile fits (caller falls back to the jnp/XLA scoring path)."""
     for tile in (32, 16, 8):
-        if 20 * tile * Rp * W * 4 <= 14 * 1024 * 1024:
+        planes = 20 * tile * Rp * W * 4
+        outs = 2 * 9 * tile * C1 * 4
+        if planes + outs <= 13 * 1024 * 1024:
             return tile
     return None
 
 
-def fits_vmem(R: int, S: int) -> bool:
-    """Whether a [*, R, S] branch bucket can run through the fused
-    Pallas kernels on a 16 MB-VMEM core (e.g. 50-branch 640-wide
-    buckets from high-coverage windows cannot; the jnp path takes
-    those)."""
+def fits_vmem(R: int, S: int, Cb: int) -> bool:
+    """Whether a [*, R, S] branch bucket with a Cb-wide candidate can
+    run through the fused Pallas kernels on a 16 MB-VMEM core (very
+    long windows cannot; the jnp path takes those)."""
     Rp = _round_up(R, 8)
     W = _round_up(S + 1, 128)
-    return _pick_tile(Rp, W) is not None
+    return _pick_tile(Rp, W, Cb + 1) is not None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,6 +124,14 @@ def _setcol(ref, i, val):
     ref[:] = jnp.where(jj == i, val[:, None], ref[:])
 
 
+def _setcol3(ref, x, i, val):
+    """Write val [TB] into [x, :, i] of a [4, TB, C] block."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 2)
+    xx = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 0)
+    ref[:] = jnp.where((jj == i) & (xx == x), val[None, :, None],
+                       ref[:])
+
+
 def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
                      clen_ref, blen_ref, out_ref, carry, *, Cb: int,
                      n_shifts: int):
@@ -155,9 +166,8 @@ def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
 def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b0_ref, b1_ref,
                           cand_ref, vgap_ref, clen_ref, blen_ref,
                           bmask_ref, xgap_ref,
-                          del_ref, ins_ref, insc_ref, sub_ref,
-                          subc_ref, total_ref, carry, *, Cb: int,
-                          n_shifts: int):
+                          del_ref, ins4_ref, sub4_ref, total_ref,
+                          carry, *, Cb: int, n_shifts: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -169,7 +179,6 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b0_ref, b1_ref,
     TB, R, W = F.shape
     blen3 = blen_ref[:][:, :, None]
     bmaskf = bmask_ref[:]
-    clen = clen_ref[:, 0]
     jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
     jmask = jnp.where(jpos <= blen3, 0.0, NEG)
 
@@ -182,38 +191,23 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b0_ref, b1_ref,
         tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
         total_ref[:] = jnp.broadcast_to(tot[:, None], total_ref.shape)
 
-    pv_del = jnp.where(t < clen, 0.0, NEG)
-    pv_ins = jnp.where(t <= clen, 0.0, NEG)
-
+    # raw per-char sums only: position-validity and cand!=x masks are
+    # per-lane and apply after the branch-group reduction
+    # (ops/polish._finish_scores)
     dmax = jnp.max(F + (B1 + jmask), axis=2)
-    _setcol(del_ref, t, jnp.sum(dmax * bmaskf, axis=1) + pv_del)
+    _setcol(del_ref, t, jnp.sum(dmax * bmaskf, axis=1))
 
     cx = _col(cand_ref, t)
-    ins_best = jnp.full((TB,), NEG, jnp.float32)
-    ins_chr = jnp.zeros((TB,), jnp.int32)
-    sub_best = jnp.full((TB,), NEG, jnp.float32)
-    sub_chr = jnp.zeros((TB,), jnp.int32)
     B0m = B0 + jmask
     B1m = B1 + jmask
     for x in range(4):
         mx = sw_ref[x]
         xg = xgap_ref[0, x]
         subx = jnp.maximum(_shift_r(F + mx, NEG), F + xg)
-        ins_x = jnp.sum(jnp.max(subx + B0m, axis=2) * bmaskf,
-                        axis=1) + pv_ins
-        better = ins_x > ins_best
-        ins_best = jnp.where(better, ins_x, ins_best)
-        ins_chr = jnp.where(better, x, ins_chr)
-        sub_x = jnp.sum(jnp.max(subx + B1m, axis=2) * bmaskf,
-                        axis=1) + pv_del
-        sub_x = sub_x + jnp.where(cx == x, NEG, 0.0)
-        better = sub_x > sub_best
-        sub_best = jnp.where(better, sub_x, sub_best)
-        sub_chr = jnp.where(better, x, sub_chr)
-    _setcol(ins_ref, t, ins_best)
-    _setcol(insc_ref, t, ins_chr)
-    _setcol(sub_ref, t, sub_best)
-    _setcol(subc_ref, t, sub_chr)
+        ins_x = jnp.sum(jnp.max(subx + B0m, axis=2) * bmaskf, axis=1)
+        sub_x = jnp.sum(jnp.max(subx + B1m, axis=2) * bmaskf, axis=1)
+        _setcol3(ins4_ref, x, t, ins_x)
+        _setcol3(sub4_ref, x, t, sub_x)
 
     # advance F -> next row (uses this row's candidate character)
     @pl.when(t < Cb)
@@ -276,14 +270,15 @@ def _prepare_branches(branches, blen, bmask, subs):
     return (sw_p, gp_p, sg_p, blen_p, bmask_p, xgaps)
 
 
-def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
-                       interpret: bool = False, prep=None):
-    """All single-edit scores for every bubble, fused on-chip.
+def score_edits_pallas_raw(cand, cand_len, branches, blen, bmask,
+                           subs, interpret: bool = False, prep=None):
+    """Raw per-char edit scores for every bubble, fused on-chip.
 
-    Args mirror ops/polish.py's _polish_step inputs. Returns
-    (total [B], del_sc [Cb,B], ins_sc [Cb+1,B], ins_chr [Cb+1,B],
-     sub_sc [Cb,B], sub_chr [Cb,B]), matching the jnp formulation.
-    Pass prep=prepare_branches_pallas(...) to reuse the branch tables
+    Returns (total [B], del_raw [Cb,B], ins4 [4,Cb+1,B],
+    sub4 [4,Cb,B]) — the same contract as
+    ops/polish._score_edits_raw_jnp (masks/argmax applied by
+    _finish_scores after any branch-group reduction).  Pass
+    prep=prepare_branches_pallas(...) to reuse the branch tables
     across hill-climbing iterations.
     """
     with jax.enable_x64(False):
@@ -298,6 +293,22 @@ def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
             interpret=interpret)
 
 
+def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
+                       interpret: bool = False, prep=None):
+    """All single-edit scores for every bubble, fused on-chip.
+
+    Returns (total [B], del_sc [Cb,B], ins_sc [Cb+1,B], ins_chr,
+    sub_sc [Cb,B], sub_chr), matching ops/polish._score_edits_jnp."""
+    from flye_tpu.ops.polish import _finish_scores
+    raw = score_edits_pallas_raw(cand, cand_len, branches, blen,
+                                 bmask, subs, interpret=interpret,
+                                 prep=prep)
+    with jax.enable_x64(False):
+        return _finish_scores(jnp.asarray(cand, jnp.int32),
+                              jnp.asarray(cand_len, jnp.int32), *raw,
+                              groups=1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
                         blen_p, bmask_p, xgaps,
@@ -306,7 +317,8 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     _, Bp, Rp, W = sw_p.shape
     n_shifts = (W - 1).bit_length()
     pad_b = Bp - Bb
-    tile = _pick_tile(Rp, W)  # divides _TILE_B, so it divides Bp
+    C1 = Cb + 1
+    tile = _pick_tile(Rp, W, C1)  # divides _TILE_B, and so Bp
     if tile is None:
         raise ValueError(
             f"bucket Rp={Rp} W={W} exceeds VMEM even at tile 8; "
@@ -327,7 +339,6 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     clen_p = jnp.pad(cand_len, (0, pad_b))[:, None]          # [Bp, 1]
 
     nB = Bp // tile
-    C1 = Cb + 1
 
     vmem_full = pl.BlockSpec(
         (4, tile, Rp, W), lambda b, t: (0, b, 0, 0),
@@ -375,6 +386,8 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
         return pl.BlockSpec((1, tile, Rp, W), index,
                             memory_space=pltpu.VMEM)
 
+    vmem_rows4 = pl.BlockSpec((4, tile, C1), lambda b, t: (0, b, 0),
+                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_forward_score_kernel, Cb=Cb,
                           n_shifts=n_shifts),
@@ -389,20 +402,16 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            vmem_rows,                                # del
-            vmem_rows,                                # ins
-            vmem_rows,                                # ins chr
-            vmem_rows,                                # sub
-            vmem_rows,                                # sub chr
+            vmem_rows,                                # del (raw)
+            vmem_rows4,                               # ins4 (raw)
+            vmem_rows4,                               # sub4 (raw)
             pl.BlockSpec((tile, 128), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),    # total
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, C1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, C1), jnp.int32),
+            jax.ShapeDtypeStruct((4, Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((4, Bp, C1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tile, Rp, W), jnp.float32)],
@@ -410,6 +419,7 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     )(sw_p, gp_p, sg_p, bw, bw, cand_pad, vgap_pad, clen_p, blen_p,
       bmask_p, xgaps)
 
-    del_sc, ins_sc, ins_chr, sub_sc, sub_chr, total = outs
-    return (total[:Bb, 0], del_sc[:Bb, :Cb].T, ins_sc[:Bb].T,
-            ins_chr[:Bb].T, sub_sc[:Bb, :Cb].T, sub_chr[:Bb, :Cb].T)
+    del_raw, ins4, sub4, total = outs
+    return (total[:Bb, 0], del_raw[:Bb, :Cb].T,
+            ins4[:, :Bb].transpose(0, 2, 1),
+            sub4[:, :Bb, :Cb].transpose(0, 2, 1))

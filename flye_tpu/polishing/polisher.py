@@ -44,38 +44,63 @@ def _bucket_for(c: int, s: int) -> Tuple[int, int]:
 
 def _coalesce(items: Dict[Tuple[int, int, int], List],
               min_batch: int = 48) -> Dict[Tuple[int, int, int], List]:
-    """Merge small buckets into larger shapes.
+    """Merge small buckets into larger shapes, within a branch tier.
 
     Every distinct (cand-buffer, branch-buffer, branch-count) bucket
     shape compiles its own kernel set (~10 s through the remote TPU
     compiler) — on small genomes that dominates polishing wall time.
     Buckets below min_batch are folded into the next bucket by cost,
     taking the elementwise max of the dims (always a valid superset
-    shape); the wasted lanes are bounded by min_batch per merge."""
-    keys = sorted(items, key=lambda k: (k[0] * k[1] * k[2], k))
+    shape); the wasted lanes are bounded by min_batch per merge.
+    Merging only happens between buckets of the same branch count:
+    promoting an 8-branch bubble into a 56-branch shape would multiply
+    its scoring work 7x (branch groups of 8 run as separate lanes)."""
     out: Dict[Tuple[int, int, int], List] = {}
-    carry_key: Optional[Tuple[int, int, int]] = None
-    carry: List = []
-    for pos, orig in enumerate(keys):
-        key, lst = orig, items[orig]
+    tiers = sorted({k[2] for k in items})
+    for rb in tiers:
+        keys = sorted((k for k in items if k[2] == rb),
+                      key=lambda k: (k[0] * k[1], k))
+        carry_key: Optional[Tuple[int, int, int]] = None
+        carry: List = []
+        for pos, orig in enumerate(keys):
+            key, lst = orig, items[orig]
+            if carry:
+                key = tuple(max(a, b) for a, b in zip(key, carry_key))
+                lst = carry + lst
+                carry, carry_key = [], None
+            if len(lst) < min_batch and pos < len(keys) - 1:
+                carry, carry_key = lst, key
+            else:
+                out.setdefault(key, []).extend(lst)
         if carry:
-            key = tuple(max(a, b) for a, b in zip(key, carry_key))
-            lst = carry + lst
-            carry, carry_key = [], None
-        if len(lst) < min_batch and pos < len(keys) - 1:
-            carry, carry_key = lst, key
-        else:
-            out.setdefault(key, []).extend(lst)
-    if carry:
-        out.setdefault(carry_key, []).extend(carry)
+            out.setdefault(carry_key, []).extend(carry)
     return out
+
+
+def _max_batch(cb: int, sb: int, rb: int) -> int:
+    """Device batch cap for a bucket shape.
+
+    On the Pallas path (TPU) the dominant allocation is the backward-row
+    tensor streamed through HBM: [cb, B*groups, 8, W] f32.  On the jnp
+    path (CPU / VMEM-overflow shapes) the full F/B tensors plus the
+    hoisted match planes cost ~6 f32 copies of [cb, sb, branches] per
+    lane."""
+    import jax
+    groups = max(1, -(-rb // 8))
+    if jax.default_backend() == "tpu":
+        from flye_tpu.ops.polish_pallas import fits_vmem
+        if fits_vmem(min(rb, 8), sb, cb):
+            W = -(-(sb + 1) // 128) * 128
+            per_lane = cb * groups * 8 * W * 4 * 2
+            return max(1, min(512, (6 << 30) // per_lane))
+    per_lane = cb * sb * groups * 8 * 4 * 6
+    return max(1, min(512, _MEM_BUDGET // per_lane))
 
 
 def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
                 cb: int, sb: int, rb: int, subs: np.ndarray) -> None:
     """Polish a homogeneous bucket of bubbles in device batches."""
-    per_lane = cb * sb * rb * 4 * 6   # rough live-tensor footprint
-    max_b = max(1, min(512, _MEM_BUDGET // per_lane))
+    max_b = _max_batch(cb, sb, rb)
     for lo in range(0, len(items), max_b):
         chunk = items[lo:lo + max_b]
         # quantize the batch so short tail chunks reuse compiled shapes
@@ -101,11 +126,18 @@ def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
                 branches[i, r, :m] = br[:m]
                 blen[i, r] = m
                 bmask[i, r] = True
+        import time
+        t0 = time.perf_counter()
         out_c, out_l, score, iters = polish_bubbles(
             cand, clen, branches, blen, bmask, subs,
             max_iters=2 * cb)
         out_c = np.asarray(out_c)
         out_l = np.asarray(out_l)
+        it_h = np.asarray(iters)
+        logger.debug(
+            "bucket (%d,%d,%d) x%d: %.1fs, iters med/max %d/%d",
+            cb, sb, rb, B, time.perf_counter() - t0,
+            int(np.median(it_h)), int(it_h.max()))
         for i, (b, _) in enumerate(chunk):
             b.polished = out_c[i, :out_l[i]].copy()
 
@@ -149,12 +181,13 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
     # general polisher, src/polishing/bubble_processor.cpp)
     from flye_tpu.polishing.homopolisher import (fix_dinucleotide_repeats,
                                                  polish_homopolymers)
-    for b in bubbles:
-        if b.polished is None or not b.branches:
-            continue
-        seq = polish_homopolymers(b.polished, b.branches, platform)
-        seq = fix_dinucleotide_repeats(seq, b.branches)
-        b.polished = seq
+    with stage_timer("polish: homopolymer/dinucleotide"):
+        for b in bubbles:
+            if b.polished is None or not b.branches:
+                continue
+            seq = polish_homopolymers(b.polished, b.branches, platform)
+            seq = fix_dinucleotide_repeats(seq, b.branches)
+            b.polished = seq
 
 
 def polish(drafts: Sequence[Tuple[str, np.ndarray]],
@@ -181,24 +214,28 @@ def polish(drafts: Sequence[Tuple[str, np.ndarray]],
                     targets.add(name, codes)
             if not len(targets):
                 break
-            mapper = ReadMapper(targets, k=k, w=w, min_aln_length=min_aln)
-            by_target = mapper.map_all(reads)
+            with stage_timer("polish: read mapping"):
+                mapper = ReadMapper(targets, k=k, w=w,
+                                    min_aln_length=min_aln)
+                by_target = mapper.map_all(reads)
 
             all_bubbles: List[Bubble] = []
             per_target: Dict[int, List[Bubble]] = {}
-            for tid, alns in by_target.items():
-                draft = targets.get(tid)
-                alns = uniform_alignments(alns, len(draft), max_cov)
-                bubbles = make_bubbles(tid, draft, alns, reads,
-                                       max_bubble=max_bubble,
-                                       min_aln_length=min_aln)
-                per_target[tid] = bubbles
-                all_bubbles.extend(bubbles)
-                coverage_stats[targets.name(tid)] = (
-                    sum(a.cur_range for a in alns) / max(1, len(draft)))
+            with stage_timer("polish: bubble extraction"):
+                for tid, alns in by_target.items():
+                    draft = targets.get(tid)
+                    alns = uniform_alignments(alns, len(draft), max_cov)
+                    bubbles = make_bubbles(tid, draft, alns, reads,
+                                           max_bubble=max_bubble,
+                                           min_aln_length=min_aln)
+                    per_target[tid] = bubbles
+                    all_bubbles.extend(bubbles)
+                    coverage_stats[targets.name(tid)] = (
+                        sum(a.cur_range for a in alns) / max(1, len(draft)))
             logger.info("%d bubbles from %d sequences",
                         len(all_bubbles), len(per_target))
-            polish_bubble_set(all_bubbles, platform)
+            with stage_timer("polish: bubble kernels"):
+                polish_bubble_set(all_bubbles, platform)
 
             new_current = []
             for name, codes in current:

@@ -147,3 +147,79 @@ def test_polish_noisy_consensus(rng):
     errs = sum(1 for a, b in zip(out[0], true) if a != b) + \
         abs(len(out[0]) - len(true))
     assert errs <= 1, (out[0], true)
+
+
+def test_branch_group_scoring_equivalence():
+    """Scores from branches split into groups of 8 (separate lanes)
+    reduce to exactly the ungrouped scores: sums of per-branch maxima
+    decompose over groups; the 4-char argmax happens after the
+    reduction (ops/polish._finish_scores)."""
+    import jax.numpy as jnp
+    from flye_tpu.ops.polish import (_finish_scores, _score_edits_jnp,
+                                     _score_edits_raw_jnp)
+    rng = np.random.default_rng(11)
+    B, Cb, R, S = 3, 20, 20, 30
+    cand = rng.integers(0, 4, (B, Cb)).astype(np.uint8)
+    clen = rng.integers(10, Cb + 1, B).astype(np.int32)
+    branches = rng.integers(0, 4, (B, R, S)).astype(np.uint8)
+    blen = rng.integers(8, S + 1, (B, R)).astype(np.int32)
+    bmask = rng.random((B, R)) < 0.8
+    bmask[:, 0] = True
+    subs = np.log(rng.random((5, 5)) * 0.5 + 0.01).astype(np.float32)
+
+    ref = _score_edits_jnp(jnp.asarray(cand), jnp.asarray(clen),
+                           jnp.asarray(branches), jnp.asarray(blen),
+                           jnp.asarray(bmask), jnp.asarray(subs))
+
+    g = -(-R // 8)
+    pad_r = g * 8 - R
+    br_g = np.pad(branches, ((0, 0), (0, pad_r), (0, 0)))
+    bl_g = np.pad(blen, ((0, 0), (0, pad_r)))
+    bm_g = np.pad(bmask, ((0, 0), (0, pad_r)))
+    raw = _score_edits_raw_jnp(
+        jnp.repeat(jnp.asarray(cand), g, axis=0),
+        jnp.repeat(jnp.asarray(clen), g, axis=0),
+        jnp.asarray(br_g.reshape(B * g, 8, S)),
+        jnp.asarray(bl_g.reshape(B * g, 8)),
+        jnp.asarray(bm_g.reshape(B * g, 8)),
+        jnp.asarray(subs))
+    out = _finish_scores(jnp.asarray(cand), jnp.asarray(clen), *raw,
+                         groups=g)
+    names = ["total", "del", "ins", "ins_chr", "sub", "sub_chr"]
+    for name, r, o in zip(names, ref, out):
+        r, o = np.asarray(r), np.asarray(o)
+        if name.endswith("chr"):
+            np.testing.assert_array_equal(r, o, err_msg=name)
+        else:
+            finite = r > -1e29
+            assert np.array_equal(finite, o > -1e29), name
+            diff = np.abs(np.where(finite, r - o, 0)).max()
+            assert diff < 1e-3, (name, diff)
+
+
+def test_polish_bubbles_many_branches():
+    """polish_bubbles with >8 branches (grouped lanes) still converges
+    to the true sequence."""
+    rng = np.random.default_rng(13)
+    B, C, Cb, R, S = 3, 30, 40, 20, 60
+    true = rng.integers(0, 4, (B, C)).astype(np.uint8)
+    cand = np.zeros((B, Cb), np.uint8)
+    cand[:, :C] = true
+    for i in range(B):
+        idx = rng.integers(0, C, 3)
+        cand[i, idx] = (cand[i, idx] + 1) % 4
+    clen = np.full(B, C, np.int32)
+    branches = np.zeros((B, R, S), np.uint8)
+    branches[:, :, :C] = true[:, None, :]
+    blen = np.full((B, R), C, np.int32)
+    bmask = np.ones((B, R), bool)
+    subs = np.log(np.full((5, 5), 0.05, np.float32))
+    np.fill_diagonal(subs[:4, :4], np.log(0.8))
+    from flye_tpu.ops.polish import polish_bubbles
+    out_c, out_l, _, _ = polish_bubbles(cand, clen, branches, blen,
+                                        bmask, subs, max_iters=24,
+                                        use_pallas=False)
+    for i in range(B):
+        n = int(out_l[i])
+        assert n == C
+        np.testing.assert_array_equal(np.asarray(out_c[i][:n]), true[i])

@@ -82,17 +82,21 @@ def test_polish_bubbles_pallas_path():
 
 def test_pick_tile_vmem_budget():
     """Buckets observed to exceed the 16 MB scoped-VMEM limit at tile 32
-    (E. coli 30x E2E: long bubbles W=1280 and many-branch R=32 W=256)
-    must get a smaller batch tile; small buckets keep the full tile."""
+    (E. coli 30x E2E: long bubbles W=1280, and a (32, 8, 640, 385)
+    bucket that measured 16.19M with the per-char output planes) must
+    get a smaller batch tile; small buckets keep the full tile."""
     from flye_tpu.ops.polish_pallas import _pick_tile, fits_vmem
-    assert _pick_tile(8, 1280) < 32
-    assert _pick_tile(32, 256) < 32
-    assert _pick_tile(16, 256) == 32
-    # 50-branch 640-wide buckets exceed VMEM at any tile -> jnp path
-    assert _pick_tile(56, 640) is None
-    assert not fits_vmem(50, 620)
-    assert fits_vmem(16, 255)
-    for rp, w in [(8, 1280), (32, 256), (16, 256)]:
-        tile = _pick_tile(rp, w)
+    assert _pick_tile(8, 1280, 769) < 32
+    assert _pick_tile(8, 640, 385) < 32       # the 16.19M offender
+    assert _pick_tile(32, 256, 385) < 32
+    assert _pick_tile(16, 256, 129) == 32
+    # 56-branch 640-wide buckets exceed VMEM at any tile -> jnp path
+    # (branch-group tiling in polish_bubbles avoids this in practice)
+    assert _pick_tile(56, 640, 385) is None
+    assert not fits_vmem(50, 620, 384)
+    assert fits_vmem(16, 255, 128)
+    for rp, w, c1 in [(8, 1280, 769), (32, 256, 385), (16, 256, 129)]:
+        tile = _pick_tile(rp, w, c1)
         assert tile in (8, 16, 32)
-        assert 20 * tile * rp * w * 4 <= 14 * 1024 * 1024
+        assert (20 * tile * rp * w + 72 * tile * c1) * 4 \
+            <= 13 * 1024 * 1024

@@ -40,9 +40,10 @@ class Bubble:
         return []
 
 
-def _project(anchors: np.ndarray, p: int) -> int:
+def _project(anchors: np.ndarray, p: int) -> Tuple[int, int]:
     """Read coordinate for draft position p by diagonal extrapolation
-    from the nearest anchor (anchors [N,2] = (draft, read), ascending)."""
+    from the nearest anchor (anchors [N,2] = (draft, read), ascending).
+    Returns (read_pos, distance_to_nearest_anchor)."""
     i = int(np.searchsorted(anchors[:, 0], p))
     if i == 0:
         c, e = anchors[0]
@@ -54,7 +55,37 @@ def _project(anchors: np.ndarray, p: int) -> int:
             c, e = anchors[i - 1]
         else:
             c, e = anchors[i]
-    return int(e) + (p - int(c))
+    return int(e) + (p - int(c)), abs(p - int(c))
+
+
+_REFINE_M = 12  # boundary-marker length (bases)
+
+
+def _refine(read_codes: np.ndarray, marker: np.ndarray, center: int,
+            dist: int) -> int:
+    """Snap an extrapolated read coordinate onto the exact occurrence of
+    the draft's boundary marker k-mer nearest to it.
+
+    Extrapolation across a gap of `dist` draft bases can be off by the
+    local indel count (~15% of dist for raw reads); searching a window
+    of that radius for the exact marker makes the slice boundary exact
+    whenever the read matches the draft at the boundary — the same
+    "solid position" invariant the reference's partition relies on
+    (reference: flye/polishing/bubbles.py:220-236 solidity test)."""
+    m = len(marker)
+    if m < _REFINE_M:
+        return center
+    radius = min(48, 4 + (dist * 2) // 10)
+    lo = max(0, center - radius)
+    hi = min(len(read_codes) - m, center + radius)
+    if hi < lo:
+        return center
+    win = np.lib.stride_tricks.sliding_window_view(
+        read_codes[lo:hi + m], m)
+    hits = np.nonzero((win == marker).all(axis=1))[0]
+    if len(hits) == 0:
+        return center
+    return int(lo + hits[np.argmin(np.abs(hits + lo - center))])
 
 
 def make_bubbles(target_id: int, draft: np.ndarray,
@@ -106,6 +137,12 @@ def make_bubbles(target_id: int, draft: np.ndarray,
         bubbles.append(Bubble(target_id, bi, int(p0), int(p1),
                               draft[p0:p1].copy()))
 
+    # boundary markers: the draft k-mer starting at each boundary, used
+    # to snap extrapolated read slices onto exact matches
+    markers = {}
+    for p in boundaries:
+        markers[p] = draft[p:min(p + _REFINE_M, L)]
+
     # slice branches
     starts = np.asarray([b.start for b in bubbles])
     for a in alns:
@@ -120,8 +157,12 @@ def make_bubbles(target_id: int, draft: np.ndarray,
                 continue
             if len(b.branches) >= max_branches:
                 continue
-            rp0 = _project(km, b.start)
-            rp1 = _project(km, b.end)
+            rp0, d0 = _project(km, b.start)
+            rp1, d1 = _project(km, b.end)
+            if d0:
+                rp0 = _refine(read_codes, markers[b.start], rp0, d0)
+            if d1:
+                rp1 = _refine(read_codes, markers[b.end], rp1, d1)
             rp0 = max(0, min(rp0, len(read_codes)))
             rp1 = max(rp0, min(rp1, len(read_codes)))
             blen = rp1 - rp0

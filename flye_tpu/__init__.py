@@ -20,8 +20,20 @@ dtypes (int32/float32 in the hot paths); int64 only appears in index
 construction.
 """
 
+import os as _os
+
 from jax import config as _jax_config
 
 _jax_config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the pipeline's kernel set spans dozens of
+# bucketed shapes; on a remote-compile TPU tunnel each shape costs
+# ~10-40 s per process without this (the analog of the reference's
+# one-time C++ build).  Opt out with FLYE_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("FLYE_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "FLYE_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/jax"))
+    _jax_config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax_config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 __version__ = "0.1.0"

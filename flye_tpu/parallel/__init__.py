@@ -1,2 +1,4 @@
+from flye_tpu.parallel.distributed import (host_partition, init_distributed,
+                                           is_coordinator)
 from flye_tpu.parallel.mesh import (make_mesh, posting_exchange_step,
                                     sharded_pipeline_step)

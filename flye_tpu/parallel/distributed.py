@@ -1,0 +1,91 @@
+"""Multi-host runtime: jax.distributed init + per-host read sharding.
+
+The reference is single-node (SURVEY §5.8); its "communication" is
+shared memory and unix pipes.  The TPU-native equivalent is a
+first-class runtime component: every host in a pod slice runs the same
+pipeline process, `jax.distributed` wires them into one XLA runtime, the
+read set is partitioned deterministically per host (the data-parallel
+analog of the reference's thread pool over reads,
+reference: src/common/parallel.h:14-58), and device collectives
+(psum / all-to-all in parallel/mesh.py) merge per-shard results.
+
+Single-process runs (the common case on one chip / CPU) skip
+initialization entirely — every helper degrades to the identity.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Sequence, Tuple
+
+logger = logging.getLogger("flye_tpu")
+
+_initialized = False
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize the multi-host JAX runtime when running on a pod slice.
+
+    Arguments default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); on
+    TPU pod VMs jax.distributed.initialize() can also auto-discover all
+    three.  Returns (process_index, process_count).  A no-op returning
+    (0, 1) when no multi-host configuration is present.
+    """
+    global _initialized
+    import jax
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num_str = os.environ.get("JAX_NUM_PROCESSES")
+    num_processes = num_processes or (int(num_str) if num_str else None)
+    pid_str = os.environ.get("JAX_PROCESS_ID")
+    process_id = process_id if process_id is not None else (
+        int(pid_str) if pid_str else None)
+
+    if not _initialized and (coordinator or num_processes):
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id)
+        _initialized = True
+        logger.info("jax.distributed: process %d/%d, %d local / %d "
+                    "global devices", jax.process_index(),
+                    jax.process_count(), jax.local_device_count(),
+                    jax.device_count())
+    return jax.process_index(), jax.process_count()
+
+
+def host_partition(ids: Sequence[int], process_index: Optional[int] = None,
+                   process_count: Optional[int] = None) -> List[int]:
+    """Deterministic per-host slice of a read-id list.
+
+    Round-robin by sorted position so every host holds an interleaved,
+    length-balanced subset regardless of id density.  With one process
+    this is the identity.  Forward/reverse strand pairs (id, id^1) stay
+    on the same host (partition on the forward id).
+    """
+    if process_index is None or process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    if process_count <= 1:
+        return list(ids)
+    fwd = sorted({i & ~1 for i in ids})
+    mine = {f for n, f in enumerate(fwd) if n % process_count ==
+            process_index}
+    return [i for i in ids if (i & ~1) in mine]
+
+
+def is_coordinator() -> bool:
+    """True on the host that runs the (host-plane) graph phase.
+
+    The repeat-graph / contigger stages are irregular host algorithms
+    run on one process (SURVEY §7: "graph phase runs on host 0 from
+    gathered overlap records"); other hosts idle through them and rejoin
+    at the next device-parallel stage.
+    """
+    import jax
+    return jax.process_index() == 0

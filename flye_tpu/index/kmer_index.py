@@ -125,38 +125,77 @@ class KmerIndex:
     # construction
     # ------------------------------------------------------------------
 
+    _STREAM_W = 16384       # chunk width of the flat-stream layout
+    _STREAM_ROWS = 512      # device rows per stream batch
+
     def _extract_selected(self, ids, w: int, sample: int):
-        """Run the device selection kernels and compact to triple arrays
-        (canon kmer, seq index, pos, flip)."""
-        kmers_l, seq_l, pos_l, flip_l = [], [], [], []
-        row_buckets = (1, 8, 64, 512, 2048, 8192)
-        for sids, pad in batched_ids(self.store, ids):
-            # fixed row counts keep compiled shapes stable across runs
-            rows = next((r for r in row_buckets if len(sids) <= r),
-                        len(sids))
-            padded_sids = list(sids) + [sids[-1]] * (rows - len(sids))
-            batch, lens = self.store.padded_batch(padded_sids, pad)
-            lens[len(sids):] = 0
-            canon, is_fwd, valid = canonical_kmers(batch, lens, self.k)
-            if w > 1:
-                h = jnp.where(valid, splitmix64(canon),
-                              jnp.uint64(0xFFFFFFFFFFFFFFFF))
-                sel = minimizer_mask(h, valid, w)
-            else:
-                sel = sample_mask(valid, sample)
-            sel = np.asarray(sel)
-            canon = np.asarray(canon)
-            is_fwd = np.asarray(is_fwd)
-            rsel, cols = np.nonzero(sel)
-            kmers_l.append(canon[rsel, cols])
-            seq_idx = np.asarray([s >> 1 for s in padded_sids],
-                                 dtype=np.int32)
-            seq_l.append(seq_idx[rsel])
-            pos_l.append(cols.astype(np.int32))
-            flip_l.append(~is_fwd[rsel, cols])
-        if not kmers_l:
+        """Run the fused device selection kernel over the flat read
+        stream and compact to triple arrays (canon kmer, seq index,
+        pos, flip).
+
+        All reads concatenate into one base stream cut into fixed-width
+        overlapping chunks (flat layout: transferred bytes ~= true base
+        count; the per-read padded layout wasted 3-6x on padding, and
+        the device->host tunnel is the index build's bottleneck).  The
+        kernel packs (kmer, strand, selected) into one uint64 per
+        position so the whole extraction costs a single transfer."""
+        from flye_tpu.ops.kmers import stream_select_packed
+
+        k = self.k
+        ids = list(ids)
+        if not ids:
             z = np.zeros(0, dtype=np.int64)
             return z, z.astype(np.int32), z.astype(np.int32), z.astype(bool)
+        lens = np.asarray([self.store.length(s) for s in ids],
+                          dtype=np.int64)
+        starts = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        n_total = int(starts[-1])
+        stream = np.concatenate([self.store.get(s) for s in ids])
+
+        W = self._STREAM_W
+        step = W - (k - 1) - 2 * (w - 1)
+        n_rows = max(1, -(-max(0, n_total - k + 1) // step))
+        # left pad w-1 (row margins), right pad to the row grid
+        pad_stream = np.zeros((w - 1) + n_rows * step + (W - step),
+                              dtype=np.uint8)
+        pad_stream[w - 1:w - 1 + n_total] = stream
+
+        # starts table padded to a power of two (stable device shape)
+        Sp = 1 << max(4, (len(starts) - 1).bit_length())
+        starts_p = np.full(Sp, n_total, dtype=np.int64)
+        starts_p[:len(starts)] = starts
+        starts_dev = jnp.asarray(starts_p)
+
+        kmers_l, seq_l, pos_l, flip_l = [], [], [], []
+        R = self._STREAM_ROWS
+        strided = np.lib.stride_tricks.as_strided(
+            pad_stream, shape=(n_rows, W), strides=(step, 1))
+        for r0 in range(0, n_rows, R):
+            rows = strided[r0:r0 + R]
+            nb = len(rows)
+            if nb < R and n_rows > R:
+                chunk = np.zeros((R, W), dtype=np.uint8)
+                chunk[:nb] = rows
+            elif nb < R:
+                # single small batch: round rows to a power of two
+                nr = 1 << max(0, (nb - 1).bit_length())
+                chunk = np.zeros((nr, W), dtype=np.uint8)
+                chunk[:nb] = rows
+            else:
+                chunk = np.ascontiguousarray(rows)
+            packed = np.asarray(stream_select_packed(
+                jnp.asarray(chunk), starts_dev, jnp.int64(r0),
+                jnp.int64(n_total), k=k, w=w, sample=sample, step=step))
+            rsel, cols = np.nonzero(packed & 1)
+            p = packed[rsel, cols]
+            g = (r0 + rsel.astype(np.int64)) * step + cols - (w - 1)
+            rid = np.searchsorted(starts, g, side="right") - 1
+            kmers_l.append((p >> 2).astype(np.int64))
+            seq_l.append(np.asarray([s >> 1 for s in ids],
+                                    dtype=np.int32)[rid])
+            pos_l.append((g - starts[rid]).astype(np.int32))
+            flip_l.append((p >> 1) & 1 == 0)
         return (np.concatenate(kmers_l), np.concatenate(seq_l),
                 np.concatenate(pos_l), np.concatenate(flip_l))
 
@@ -279,13 +318,14 @@ class KmerIndex:
         skmers = kmers[order]
         starts = np.flatnonzero(
             np.concatenate([[True], skmers[1:] != skmers[:-1]]))
-        cnt_uniq = skmers[starts]
         cnt_vals = np.diff(np.concatenate(
             [starts, [len(skmers)]])).astype(np.int64)
 
-        # per-position global frequency via searchsorted
-        gidx = np.searchsorted(cnt_uniq, kmers)
-        freq = cnt_vals[gidx]
+        # per-position global frequency by inverting the sort permutation
+        # (no searchsorted: repeat each group's count across its members,
+        # then scatter back to stream order)
+        freq = np.empty(len(kmers), dtype=np.int64)
+        freq[order] = np.repeat(cnt_vals, cnt_vals)
 
         # Per-read frequency threshold: keep positions whose global
         # frequency marks them as genuine (error k-mers barely recur).

@@ -148,6 +148,99 @@ def minimizer_mask(hashes: jax.Array, valid: jax.Array, w: int) -> jax.Array:
     return valid & selected
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "sample", "step"))
+def stream_select_packed(chunks: jax.Array, starts: jax.Array,
+                         row0: jax.Array, n_total: jax.Array,
+                         k: int, w: int, sample: int, step: int
+                         ) -> jax.Array:
+    """Fused k-mer extraction + canonicalization + minimizer/sample
+    selection over a FLAT read stream, packed for a single transfer.
+
+    The padded-per-read layout wastes 3-6x of the device->host transfer
+    on padding (reads vary 1-60 kb); here all reads are concatenated
+    into one stream and cut into fixed-width overlapping chunks, so the
+    transferred bytes equal ~1.0x the true base count.  Read boundaries
+    are reconstructed on device from the `starts` offsets — the 2-bit
+    stream + offsets is the same representation the reference's
+    SequenceContainer uses for its global-position index
+    (reference: src/sequence/sequence_container.h:200-235).
+
+    Args:
+      chunks: [B, W] uint8; row r holds stream positions
+              [(row0+r)*step - (w-1) + i for i in range(W)] of a stream
+              left-padded with w-1 junk bases (so row 0 col w-1 is
+              stream position 0... in stream coords g = row*step + col
+              - (w-1)).
+      starts: [R+1] int64 read start offsets in the stream (ascending,
+              starts[R] = n_total), padded to a power of two with
+              n_total sentinels.
+      row0:   int64 global row index of chunks[0].
+      n_total: int64 total stream length.
+      k, w:   k-mer size / minimizer window (w=1 -> sampling mode).
+      sample: keep every sample-th position when w == 1.
+      step:   selectable positions per row; must equal
+              W - (k-1) - 2*(w-1).
+
+    Returns [B, W] uint64: (canon << 2) | (is_fwd << 1) | 1 at selected
+    positions, 0 elsewhere.
+    """
+    assert 1 <= k <= MAX_K
+    B, W = chunks.shape
+    c = chunks.astype(jnp.int64)
+    fwd = jnp.zeros((B, W), dtype=jnp.int64)
+    rc = jnp.zeros((B, W), dtype=jnp.int64)
+    for j in range(k):
+        shifted = jnp.roll(c, -j, axis=1) if j else c
+        fwd = fwd | (shifted << (2 * (k - 1 - j)))
+        rc = rc | ((3 - shifted) << (2 * j))
+    col = jax.lax.broadcasted_iota(jnp.int64, (B, W), 1)
+    row = jax.lax.broadcasted_iota(jnp.int64, (B, W), 0)
+    g = (row0 + row) * step + col - (w - 1)
+
+    # a k-mer is valid iff it lies entirely within one read: both its
+    # first and last base fall in the same starts[] interval
+    rid_a = jnp.searchsorted(starts, g, side="right")
+    rid_b = jnp.searchsorted(starts, g + (k - 1), side="right")
+    valid = ((g >= 0) & (g + k <= n_total) & (rid_a == rid_b)
+             & (col <= W - k))
+
+    is_fwd = fwd <= rc
+    canon = jnp.where(is_fwd, fwd, rc)
+
+    if w > 1:
+        h = jnp.where(valid, splitmix64(canon), _INVALID_HASH)
+        Wmin = _sliding_min(h, w)
+        # window s is usable iff its first and last k-mers are valid and
+        # belong to the same read (then so do all between)
+        def shiftL(x, s, fill):
+            rolled = jnp.roll(x, -s, axis=-1)
+            return jnp.where(col < W - s, rolled, fill)
+        win_ok = (valid & shiftL(valid, w - 1, False)
+                  & (rid_a == shiftL(rid_a, w - 1, jnp.int64(-1))))
+        selected = jnp.zeros_like(valid)
+        for j in range(w):
+            Wj = jnp.roll(Wmin, j, axis=-1)
+            okj = jnp.roll(win_ok, j, axis=-1) & (col >= j)
+            selected = selected | (okj & (Wj == h))
+        selected = valid & selected
+    elif sample > 1:
+        # sample phase restarts at each read start (reference samples
+        # every Nth k-mer per read, not per stream)
+        read_start = starts[jnp.maximum(rid_a - 1, 0)]
+        selected = valid & ((g - read_start) % sample == 0)
+    else:
+        selected = valid
+    # only the interior zone belongs to this row (margins are covered by
+    # the neighboring rows)
+    selected = selected & (col >= w - 1) & (col < w - 1 + step)
+
+    packed = ((canon.astype(jnp.uint64) << jnp.uint64(2))
+              | (is_fwd.astype(jnp.uint64) << jnp.uint64(1))
+              | jnp.uint64(1))
+    return jnp.where(selected, packed, jnp.uint64(0))
+
+
 @functools.partial(jax.jit, static_argnames=("sample",))
 def sample_mask(valid: jax.Array, sample: int) -> jax.Array:
     """Every `sample`-th position (the reference's k-mer sampling,

@@ -126,7 +126,23 @@ class KmerIndex:
     # ------------------------------------------------------------------
 
     _STREAM_W = 16384       # chunk width of the flat-stream layout
-    _STREAM_ROWS = 512      # device rows per stream batch
+    _STREAM_ROWS = 512      # device rows per large stream batch
+    _STREAM_ROWS_SMALL = 64  # device rows per small stream batch
+
+    @classmethod
+    def _stream_row_batches(cls, n_rows: int):
+        """Yield (r0, fixed_rows) batches covering n_rows with exactly
+        two compiled shapes: 512-row batches for bulk, one 64-row shape
+        for tails/small streams (every extra row count would compile
+        its own kernel, ~10-30 s each through the remote TPU tunnel)."""
+        R, S = cls._STREAM_ROWS, cls._STREAM_ROWS_SMALL
+        r0 = 0
+        while n_rows - r0 > 4 * S:
+            yield r0, R
+            r0 += min(R, n_rows - r0)
+        while r0 < n_rows:
+            yield r0, S
+            r0 += min(S, n_rows - r0)
 
     def _extract_selected(self, ids, w: int, sample: int):
         """Run the fused device selection kernel over the flat read
@@ -162,24 +178,18 @@ class KmerIndex:
         pad_stream[w - 1:w - 1 + n_total] = stream
 
         # starts table padded to a power of two (stable device shape)
-        Sp = 1 << max(4, (len(starts) - 1).bit_length())
+        Sp = 1 << max(6, (len(starts) - 1).bit_length())
         starts_p = np.full(Sp, n_total, dtype=np.int64)
         starts_p[:len(starts)] = starts
         starts_dev = jnp.asarray(starts_p)
 
         kmers_l, seq_l, pos_l, flip_l = [], [], [], []
-        R = self._STREAM_ROWS
         strided = np.lib.stride_tricks.as_strided(
             pad_stream, shape=(n_rows, W), strides=(step, 1))
-        for r0 in range(0, n_rows, R):
-            rows = strided[r0:r0 + R]
+        for r0, nr in self._stream_row_batches(n_rows):
+            rows = strided[r0:r0 + nr]
             nb = len(rows)
-            if nb < R and n_rows > R:
-                chunk = np.zeros((R, W), dtype=np.uint8)
-                chunk[:nb] = rows
-            elif nb < R:
-                # single small batch: round rows to a power of two
-                nr = 1 << max(0, (nb - 1).bit_length())
+            if nb < nr:
                 chunk = np.zeros((nr, W), dtype=np.uint8)
                 chunk[:nb] = rows
             else:
@@ -429,6 +439,80 @@ class KmerIndex:
         rep = ((packed >> (shift + 1)) & 1).astype(bool)
         fwd = ((packed >> (shift + 2)) & 1).astype(bool)
         return row, hit, rep, fwd
+
+    def _remap_rows(self, row: np.ndarray) -> np.ndarray:
+        """Hook for subclasses whose device probe table is a re-sorted
+        view of the uniq arrays (ShardedKmerIndex)."""
+        return row
+
+    def probe_stream_flat(self, store, sids):
+        """Probe every k-mer of the given query strands through the
+        flat-stream device kernel (one packed transfer, ~1.0x bytes).
+
+        Returns (g_hit, row_hit, fwd_hit, g_rep, starts, n_total):
+          g_hit  [H] int64 ascending stream positions with index hits,
+          row_hit[H] int64 uniq-row of each hit,
+          fwd_hit[H] bool  query-kmer-was-forward flags,
+          g_rep  [F] int64 stream positions filtered as repetitive,
+          starts [len(sids)+1] int64 per-read stream offsets.
+        """
+        from flye_tpu.ops.kmers import stream_probe_packed
+
+        k = self.k
+        lens = np.asarray([store.length(s) for s in sids], dtype=np.int64)
+        starts = np.zeros(len(sids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        n_total = int(starts[-1])
+        if n_total == 0 or self.num_kmers == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z.astype(bool), z, starts, n_total
+        stream = np.concatenate([store.get(s) for s in sids])
+
+        W = self._STREAM_W
+        step = W - (k - 1)
+        n_rows = max(1, -(-max(1, n_total - k + 1) // step))
+        pad_stream = np.zeros(n_rows * step + (k - 1), dtype=np.uint8)
+        pad_stream[:n_total] = stream
+        Sp = 1 << max(6, (len(starts) - 1).bit_length())
+        starts_p = np.full(Sp, n_total, dtype=np.int64)
+        starts_p[:len(starts)] = starts
+        starts_dev = jnp.asarray(starts_p)
+
+        up, rp = self._device_tables()
+        narrow = self.num_kmers < (1 << 28)
+        shift = 28 if narrow else 32
+
+        strided = np.lib.stride_tricks.as_strided(
+            pad_stream, shape=(n_rows, W), strides=(step, 1))
+        g_hit_l, row_l, fwd_l, g_rep_l = [], [], [], []
+        for r0, nr in self._stream_row_batches(n_rows):
+            rows = strided[r0:r0 + nr]
+            nb = len(rows)
+            if nb < nr:
+                chunk = np.zeros((nr, W), dtype=np.uint8)
+                chunk[:nb] = rows
+            else:
+                chunk = np.ascontiguousarray(rows)
+            packed = np.asarray(stream_probe_packed(
+                jnp.asarray(chunk), starts_dev, jnp.int64(r0),
+                jnp.int64(n_total), up, rp,
+                jnp.int64(max(0, self.num_kmers - 1)),
+                k=k, step=step, narrow=narrow))
+            any_mask = (packed >> shift) & 3  # hit | rep
+            rsel, cols = np.nonzero(any_mask)
+            p = packed[rsel, cols]
+            g = (r0 + rsel.astype(np.int64)) * step + cols
+            is_hit = ((p >> shift) & 1).astype(bool)
+            g_rep_l.append(g[~is_hit])
+            g_hit_l.append(g[is_hit])
+            ph = p[is_hit]
+            row_l.append((ph & ((1 << shift) - 1)).astype(np.int64))
+            fwd_l.append(((ph >> (shift + 2)) & 1).astype(bool))
+        g_hit = np.concatenate(g_hit_l)
+        row_hit = self._remap_rows(np.concatenate(row_l))
+        fwd_hit = np.concatenate(fwd_l)
+        g_rep = np.concatenate(g_rep_l)
+        return g_hit, row_hit, fwd_hit, g_rep, starts, n_total
 
     def kmer_freq(self, query_kmers: np.ndarray) -> np.ndarray:
         row, found = self.lookup(query_kmers)

@@ -180,12 +180,15 @@ class ShardedKmerIndex(KmerIndex):
             self._rep_dev = jnp.asarray(rp)
         return up, self._rep_dev
 
-    def probe_batch(self, batch, lens):
-        row, hit, rep, fwd = super().probe_batch(batch, lens)
+    def _remap_rows(self, row: np.ndarray) -> np.ndarray:
         order = getattr(self, "_probe_order", None)
         if order is not None and len(order):
-            row = order[np.clip(row, 0, len(order) - 1)]
-        return row, hit, rep, fwd
+            return order[np.clip(row, 0, len(order) - 1)]
+        return row
+
+    def probe_batch(self, batch, lens):
+        row, hit, rep, fwd = super().probe_batch(batch, lens)
+        return self._remap_rows(row), hit, rep, fwd
 
     def lookup(self, query_kmers: np.ndarray):
         """Route each query to its owning shard's key range."""

@@ -537,6 +537,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume-from", default=None)
     parser.add_argument("--stop-after", default=None)
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a JAX profiler trace of the run "
+                             "under OUT_DIR/profile (the TPU analog of "
+                             "the reference's gprof build)")
     parser.add_argument("-v", "--version", action="version",
                         version="flye_tpu 0.1.0")
     return parser
@@ -555,6 +559,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     configure_logging(os.path.join(args.out_dir, "flye.log"),
                       debug=args.debug)
     try:
+        if args.profile:
+            # device+host timeline (reference's profiling analog:
+            # Makefile gprof target + hand timers, SURVEY §5.1); view
+            # with tensorboard or xprof
+            import jax
+            with jax.profiler.trace(
+                    os.path.join(args.out_dir, "profile")):
+                return run_pipeline(args)
         return run_pipeline(args)
     except PipelineException as e:
         logger.error("%s", e)

@@ -27,7 +27,6 @@ from flye_tpu.index.kmer_index import KmerIndex
 from flye_tpu.io.seqstore import SeqId, SequenceStore
 from flye_tpu.ops.align import SegmentBatcher, anchored_divergence
 from flye_tpu.ops.chain import backtrack_chains, chain_dp
-from flye_tpu.ops.kmers import canonical_kmers
 from flye_tpu.overlap.structs import Overlap
 from flye_tpu.utils.ds import DisjointSet
 
@@ -87,56 +86,58 @@ class OverlapEngine:
     def _collect_matches_batch(self, query_store: SequenceStore,
                                sids: Sequence[int]):
         """Probe the index with every k-mer of a batch of query strands
-        in one device pass. Yields per-sid match tuples."""
+        in one flat-stream device pass, then gather postings for the
+        whole batch at once. Yields per-sid match tuples."""
+        sids = list(sids)
         lengths = [query_store.length(s) for s in sids]
-        pad = 1 << max(6, (max(lengths) - 1).bit_length())
-        # fixed row counts keep the number of compiled shapes small
-        rows = next((r for r in (1, 8, 16, 32, 48, 64) if len(sids) <= r),
-                    len(sids))
-        padded_sids = list(sids) + [sids[-1]] * (rows - len(sids))
-        batch, lens = query_store.padded_batch(padded_sids, pad)
-        lens[len(sids):] = 0  # padding rows contribute nothing
-        # fused canonicalize+lookup: ONE packed device->host transfer
-        # (separate canon/is_fwd/valid fetches each pay ~28ms tunnel
-        # latency at ~100 MB/s; they dominated mapping wall time)
-        row_all, hit_all, rep_all, fwd_all = self.index.probe_batch(
-            batch, lens)
+        g_hit, row_hit, fwd_hit, g_rep, starts, _ = (
+            self.index.probe_stream_flat(query_store, sids))
 
-        out = []
-        for qi, sid in enumerate(sids):
-            filtered_pos = np.flatnonzero(rep_all[qi])
-            qpos = np.flatnonzero(hit_all[qi])
-            rows_i = row_all[qi][qpos]
-            qfwd = fwd_all[qi][qpos]
-
-            cnt = self.index.counts[rows_i].astype(np.int64)
-            starts = self.index.offsets[rows_i]
-            total = int(cnt.sum())
-            n = lengths[qi]
-            if total == 0:
-                z = np.zeros(0, dtype=np.int64)
-                out.append((sid, z.astype(np.int32), z, z.astype(np.int32),
-                            filtered_pos, n))
-                continue
-            reps = np.repeat(np.arange(len(rows_i)), cnt)
-            base = np.repeat(starts, cnt)
+        # posting-list gather across all hits of the batch
+        cnt = self.index.counts[row_hit].astype(np.int64)
+        pstart = self.index.offsets[row_hit]
+        total = int(cnt.sum())
+        if total:
+            reps = np.repeat(np.arange(len(row_hit)), cnt)
+            base = np.repeat(pstart, cnt)
             offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
             flat = base + offs
             t_seq = self.index.post_seq[flat].astype(np.int64)
             t_pos = self.index.post_pos[flat].astype(np.int64)
             t_flip = self.index.post_flip[flat]
-            m_qpos = qpos[reps].astype(np.int32)
-            m_qfwd = qfwd[reps]
+            mg = g_hit[reps]                  # stream coord per match
+            m_qfwd = fwd_hit[reps]
+            qi_m = np.searchsorted(starts, mg, side="right") - 1
+            m_qpos = (mg - starts[qi_m]).astype(np.int32)
 
-            same = m_qfwd ^ t_flip          # same-strand match?
+            same = m_qfwd ^ t_flip            # same-strand match?
             tlen = self._target_lengths[t_seq]
             ext_id = 2 * t_seq + (~same).astype(np.int64)
             ext_pos = np.where(same, t_pos,
                                tlen - self.k - t_pos).astype(np.int32)
             # drop trivial self-matches (reference: overlap.cpp:190-192)
-            keep = ~((ext_id == sid) & (ext_pos == m_qpos))
-            out.append((sid, m_qpos[keep], ext_id[keep], ext_pos[keep],
-                        filtered_pos, n))
+            sid_m = np.asarray(sids, dtype=np.int64)[qi_m]
+            keep = ~((ext_id == sid_m) & (ext_pos == m_qpos))
+            m_qpos, ext_id, ext_pos, qi_m = (
+                m_qpos[keep], ext_id[keep], ext_pos[keep], qi_m[keep])
+            # per-query split points (qi_m is non-decreasing: hits come
+            # in stream order and postings expand in place)
+            bounds = np.searchsorted(qi_m, np.arange(len(sids) + 1))
+        rep_qi = np.searchsorted(starts, g_rep, side="right") - 1
+        rep_bounds = np.searchsorted(rep_qi, np.arange(len(sids) + 1))
+
+        out = []
+        for qi, sid in enumerate(sids):
+            filtered_pos = (g_rep[rep_bounds[qi]:rep_bounds[qi + 1]]
+                            - starts[qi]).astype(np.int64)
+            if total:
+                s, e = bounds[qi], bounds[qi + 1]
+                out.append((sid, m_qpos[s:e], ext_id[s:e], ext_pos[s:e],
+                            filtered_pos, lengths[qi]))
+            else:
+                z = np.zeros(0, dtype=np.int64)
+                out.append((sid, z.astype(np.int32), z,
+                            z.astype(np.int32), filtered_pos, lengths[qi]))
         return out
 
     # ------------------------------------------------------------------

@@ -78,14 +78,19 @@ def test_repetitive_filter(rng):
     assert idx.is_repetitive(rep_kmers).all()
 
 
-def test_solid_index_selects_frequent(rng):
+def test_solid_index_selects_frequent():
     # reads sampled from a genome: genuine genome kmers are frequent,
-    # random-error kmers are rare; solid selection must prefer frequent
+    # random-error kmers are rare; solid selection must prefer frequent.
+    # A dedicated rng keeps the junk read fixed: with the shared session
+    # rng the junk read depends on test order, and about 0.5% of states
+    # share a canonical 13-mer with the genome, flipping the assertion.
+    # Seed 1 is verified collision-free against genome seed 3.
+    local = np.random.default_rng(1)
     genome = random_genome(500, seed=3)
     store = SequenceStore()
     for i in range(20):
         store.add(f"r{i}", genome)  # perfect coverage 20x
-    store.add("junk", rng.integers(0, 4, size=500).astype(np.uint8))
+    store.add("junk", local.integers(0, 4, size=500).astype(np.uint8))
     k = 13  # large enough that junk/genome kmer collisions are ~impossible
     idx = KmerIndex.build_solid(store, k, select_rate=0.5, tandem_freq=10,
                                 global_min_freq=2)

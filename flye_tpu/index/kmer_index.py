@@ -111,7 +111,7 @@ class KmerIndex:
     def __init__(self, store: SequenceStore, k: int):
         self.store = store
         self.k = k
-        self.uniq_kmers: jax.Array = None  # [U] int64 sorted
+        self.uniq_kmers: np.ndarray = None  # [U] int64 sorted (host)
         self.offsets: np.ndarray = None    # [U+1] int64 (host)
         self.counts: np.ndarray = None     # [U] int32 (host, post-filter)
         self.post_seq: np.ndarray = None   # [P] int32 seq index
@@ -211,14 +211,19 @@ class KmerIndex:
 
     @staticmethod
     def _sort_triples(kmers, seq, pos, flip):
-        """Deterministic device sort by (kmer, seq, pos)."""
+        """Deterministic sort by (kmer, seq, pos).
+
+        Runs on host: the triples originate host-side and the sorted
+        postings are consumed host-side, so a device `lax.sort` pays a
+        2x16B/posting tunnel round trip (hundreds of MB per build) to
+        save a ~2 s numpy sort.  On a locally-attached TPU the trade
+        could flip; the tunnel deployment never wins it."""
         payload = ((seq.astype(np.int64) << 33)
                    | (pos.astype(np.int64) << 1)
                    | flip.astype(np.int64))
-        sk, sp = jax.lax.sort((jnp.asarray(kmers), jnp.asarray(payload)),
-                              num_keys=2)
-        sk = np.asarray(sk)
-        sp = np.asarray(sp)
+        order = np.lexsort((payload, kmers))
+        sk = kmers[order]
+        sp = payload[order]
         return (sk, (sp >> 33).astype(np.int32),
                 ((sp >> 1) & 0xFFFFFFFF).astype(np.int32),
                 (sp & 1).astype(bool))
@@ -232,7 +237,7 @@ class KmerIndex:
             kmers, seq, pos, flip = kmers[keep], seq[keep], pos[keep], flip[keep]
         n = len(kmers)
         if n == 0:
-            self.uniq_kmers = jnp.zeros(0, dtype=jnp.int64)
+            self.uniq_kmers = np.zeros(0, dtype=np.int64)
             self._uniq_dev = None
             self.offsets = np.zeros(1, dtype=np.int64)
             self.counts = np.zeros(0, dtype=np.int32)
@@ -269,7 +274,9 @@ class KmerIndex:
             seq, pos, flip = seq[keep_post], pos[keep_post], flip[keep_post]
             counts = np.where(repetitive, 0, counts)
 
-        self.uniq_kmers = jnp.asarray(uniq)
+        # host array: probes upload a padded copy lazily via
+        # _device_tables; an eager device copy would double the upload
+        self.uniq_kmers = np.ascontiguousarray(uniq)
         self._uniq_dev = None  # lazy padded device table (see lookup)
         self.offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(counts, out=self.offsets[1:])

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -268,6 +269,41 @@ class Config:
         cfg = cls(blob["read_type"])
         cfg._values.update(blob["values"])
         return cfg
+
+    @classmethod
+    def from_cfg(cls, path: str, read_type: str = "raw",
+                 extra_params: Optional[str] = None,
+                 **runtime: float) -> "Config":
+        """Build a Config from a reference-format .cfg file, layered
+        over the built-in defaults (so reference bin_cfg files can be
+        reused verbatim, including their `%include` chains)."""
+        cfg = cls(read_type, **runtime)
+        cfg._values.update(load_cfg_file(path))
+        if extra_params:
+            cfg.apply_extra(extra_params)
+        return cfg
+
+
+def load_cfg_file(path: str) -> Dict[str, float]:
+    """Parse a reference-format config file: `key = value` float pairs,
+    '#' comment lines, and `%include other.cfg` resolved relative to the
+    including file (reference: src/common/config.h:36-72)."""
+    values: Dict[str, float] = {}
+    dirname = os.path.dirname(path)
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("%include"):
+                inc = line.split(None, 1)[1].strip()
+                values.update(load_cfg_file(os.path.join(dirname, inc)))
+                continue
+            key, sep, val = line.partition("=")
+            if not sep:
+                raise ValueError(f"bad config line in {path}: {line!r}")
+            values[key.strip()] = float(val.strip())
+    return values
 
 
 def setup_run_params(

@@ -122,12 +122,16 @@ class JobConfigure(Job):
             meta=self.ctx.args.meta)
         self.ctx.min_overlap = params["min_overlap"]
         self.ctx.min_read_length = params["min_read_length"]
-        self.ctx.cfg = Config(
-            self.ctx.read_type,
+        common = dict(
             extra_params=self.ctx.args.extra_params,
             min_overlap=self.ctx.min_overlap,
             uneven_coverage=int(self.ctx.args.meta),
             keep_haplotypes=int(self.ctx.args.keep_haplotypes))
+        if getattr(self.ctx.args, "config", None):
+            self.ctx.cfg = Config.from_cfg(
+                self.ctx.args.config, self.ctx.read_type, **common)
+        else:
+            self.ctx.cfg = Config(self.ctx.read_type, **common)
 
 
 class JobAssembly(Job):
@@ -533,6 +537,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="recover short unassembled plasmids")
     parser.add_argument("--keep-haplotypes", action="store_true")
     parser.add_argument("--extra-params", default=None)
+    parser.add_argument("--config", default=None, metavar="CFG",
+                        help="reference-format .cfg parameter file "
+                             "(key = value, %%include supported) layered "
+                             "over the built-in read-type defaults")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--resume-from", default=None)
     parser.add_argument("--stop-after", default=None)

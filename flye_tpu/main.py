@@ -580,6 +580,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.error("%s", e)
         logger.error("Pipeline aborted")
         return 1
+    except Exception as e:  # device-failure diagnostics (the analog of
+        # the reference's SIGKILL->"ran out of memory" translation,
+        # reference: flye/assembly/assemble.py:70-73 + segfault
+        # handlers in src/common/utils.h)
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+            logger.error("Device out of memory: %s", msg.splitlines()[0])
+            logger.error("Reduce batch sizes via --extra-params or run "
+                         "on a larger chip/mesh")
+        elif "UNAVAILABLE" in msg or "crashed" in msg:
+            logger.error("TPU runtime failed: %s", msg.splitlines()[0])
+            logger.error("The run can be resumed from the last completed "
+                         "stage with --resume")
+        else:
+            logger.exception("Unexpected failure")
+        logger.error("Pipeline aborted")
+        return 1
 
 
 if __name__ == "__main__":

@@ -25,6 +25,10 @@ def run_dir(tmp_path_factory):
                            error_rate=0.05, seed=5, circular=False)
     reads_path = d / "reads.fasta"
     write_fasta(reads, str(reads_path))
+    # the pipeline runs HERE so every test of this module is
+    # self-sufficient (under xdist, resume tests may land on a worker
+    # that never executed test_full_pipeline)
+    assert _run(reads_path, d / "out") == 0
     return d, genome, reads_path
 
 
@@ -36,8 +40,7 @@ def _run(reads_path, out, *extra):
 
 def test_full_pipeline(run_dir):
     d, genome, reads_path = run_dir
-    out = d / "out"
-    assert _run(reads_path, out) == 0
+    out = d / "out"  # assembled by the fixture
     recs = read_seq_file(str(out / "assembly.fasta"))
     assert recs, "no contigs assembled"
     total = sum(len(s) for _, s in recs)

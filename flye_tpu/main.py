@@ -526,6 +526,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-t", "--threads", type=int, default=1,
                         help="host threads (device parallelism is "
                         "managed by the mesh)")
+    parser.add_argument("--polish-target", default=None, metavar="FASTA",
+                        help="run the standalone polisher on this "
+                             "sequence file instead of assembling "
+                             "(reference: flye --polish-target)")
+    parser.add_argument("--hifi-error", type=float, default=None,
+                        metavar="FLOAT",
+                        help="expected HiFi error rate (e.g. 0.003); "
+                             "only with --pacbio-hifi")
     parser.add_argument("-i", "--iterations", type=int, default=1,
                         help="number of polishing iterations")
     parser.add_argument("-m", "--min-overlap", type=int, default=None)
@@ -554,6 +562,28 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _run_polisher_only(args) -> int:
+    """Standalone polisher entry (reference: flye/main.py:509-518
+    _run_polisher_only): polish an existing assembly with the given
+    reads, writing polished_<i>.fasta per iteration."""
+    from flye_tpu.io.fasta import read_seq_file, write_fasta
+    from flye_tpu.polishing.polisher import polish
+
+    ctx = RunContext(args)
+    logger.info("Running standalone polisher on %s", args.polish_target)
+    target = read_seq_file(args.polish_target)
+    if not target:
+        raise PipelineException(f"empty target: {args.polish_target}")
+    reads = ctx.load_reads()
+    current = [(n, c) for n, c in target]
+    for it in range(1, args.iterations + 1):
+        current = polish(current, reads, ctx.platform, num_iters=1)
+        out = os.path.join(args.out_dir, f"polished_{it}.fasta")
+        write_fasta(current, out)
+        logger.info("Polished iteration %d: %s", it, out)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     try:  # persistent kernel-compile cache across runs
         import jax
@@ -562,10 +592,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.hifi_error is not None:
+        if not getattr(args, "pacbio_hifi", None):
+            parser.error("--hifi-error can only be used with "
+                         "--pacbio-hifi")
+        # reference plumbing: flye/assembly/assemble.py:58-60 forwards
+        # the rate as an assemble_ovlp_divergence override
+        extra = f"assemble_ovlp_divergence={args.hifi_error}"
+        args.extra_params = (f"{args.extra_params},{extra}"
+                             if args.extra_params else extra)
     os.makedirs(args.out_dir, exist_ok=True)
     configure_logging(os.path.join(args.out_dir, "flye.log"),
                       debug=args.debug)
+    if args.polish_target:
+        try:
+            return _run_polisher_only(args)
+        except PipelineException as e:
+            logger.error("%s", e)
+            logger.error("Pipeline aborted")
+            return 1
     try:
         if args.profile:
             # device+host timeline (reference's profiling analog:

@@ -163,60 +163,71 @@ def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
     out_ref[0] = row
 
 
-def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b0_ref, b1_ref,
+def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
                           cand_ref, vgap_ref, clen_ref, blen_ref,
                           bmask_ref, xgap_ref,
                           del_ref, ins4_ref, sub4_ref, total_ref,
-                          carry, *, Cb: int, n_shifts: int):
+                          carry, bprev, *, Cb: int, n_shifts: int):
+    """Grid step t loads ONE backward row (B[t], clamped to Cb-1) and
+    scores position i = t - 1 against (B[i] carried in scratch from the
+    previous step, B[i+1] just loaded).  Streaming the backward tensor
+    once instead of twice (the b_row(0)/b_row(1) formulation) removes
+    ~40% of this pass's HBM traffic — its dominant cost."""
     t = pl.program_id(1)
+    sg = sg_ref[:]
+    bmaskf = bmask_ref[:]
 
     @pl.when(t == 0)
     def _():
         carry[:] = gp_ref[:]
-
-    F = carry[:]
-    sg = sg_ref[:]
-    TB, R, W = F.shape
-    blen3 = blen_ref[:][:, :, None]
-    bmaskf = bmask_ref[:]
-    jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
-    jmask = jnp.where(jpos <= blen3, 0.0, NEG)
-
-    # B rows; indices beyond Cb-1 resolve to the base row sg
-    B0 = jnp.where(t <= Cb - 1, b0_ref[0], sg)
-    B1 = jnp.where(t + 1 <= Cb - 1, b1_ref[0], sg)
-
-    @pl.when(t == 0)
-    def _():
+        # B[0]; for an empty candidate (Cb row range never entered in
+        # backward) the loaded row equals the base row anyway
+        B0 = b_ref[0]
+        bprev[:] = B0
         tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
         total_ref[:] = jnp.broadcast_to(tot[:, None], total_ref.shape)
 
-    # raw per-char sums only: position-validity and cand!=x masks are
-    # per-lane and apply after the branch-group reduction
-    # (ops/polish._finish_scores)
-    dmax = jnp.max(F + (B1 + jmask), axis=2)
-    _setcol(del_ref, t, jnp.sum(dmax * bmaskf, axis=1))
-
-    cx = _col(cand_ref, t)
-    B0m = B0 + jmask
-    B1m = B1 + jmask
-    for x in range(4):
-        mx = sw_ref[x]
-        xg = xgap_ref[0, x]
-        subx = jnp.maximum(_shift_r(F + mx, NEG), F + xg)
-        ins_x = jnp.sum(jnp.max(subx + B0m, axis=2) * bmaskf, axis=1)
-        sub_x = jnp.sum(jnp.max(subx + B1m, axis=2) * bmaskf, axis=1)
-        _setcol3(ins4_ref, x, t, ins_x)
-        _setcol3(sub4_ref, x, t, sub_x)
-
-    # advance F -> next row (uses this row's candidate character)
-    @pl.when(t < Cb)
+    @pl.when(t > 0)
     def _():
-        gp = gp_ref[:]
-        match = _sel_match(cx, sw_ref[:])
-        vg = _col(vgap_ref, t)[:, None, None]
-        tmp = jnp.maximum(_shift_r(F + match, NEG), F + vg)
-        carry[:] = _prefix_max(tmp - gp, n_shifts) + gp
+        i = t - 1
+        F = carry[:]
+        TB, R, W = F.shape
+        blen3 = blen_ref[:][:, :, None]
+        jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
+        jmask = jnp.where(jpos <= blen3, 0.0, NEG)
+
+        B0 = bprev[:]                               # B[i]
+        # B[i+1]; indices beyond Cb-1 resolve to the base row sg
+        B1 = jnp.where(i + 1 <= Cb - 1, b_ref[0], sg)
+
+        # raw per-char sums only: position-validity and cand!=x masks
+        # are per-lane and apply after the branch-group reduction
+        # (ops/polish._finish_scores)
+        dmax = jnp.max(F + (B1 + jmask), axis=2)
+        _setcol(del_ref, i, jnp.sum(dmax * bmaskf, axis=1))
+
+        cx = _col(cand_ref, i)
+        B0m = B0 + jmask
+        B1m = B1 + jmask
+        for x in range(4):
+            mx = sw_ref[x]
+            xg = xgap_ref[0, x]
+            subx = jnp.maximum(_shift_r(F + mx, NEG), F + xg)
+            ins_x = jnp.sum(jnp.max(subx + B0m, axis=2) * bmaskf, axis=1)
+            sub_x = jnp.sum(jnp.max(subx + B1m, axis=2) * bmaskf, axis=1)
+            _setcol3(ins4_ref, x, i, ins_x)
+            _setcol3(sub4_ref, x, i, sub_x)
+
+        bprev[:] = B1
+
+        # advance F -> next row (uses this row's candidate character)
+        @pl.when(i < Cb)
+        def _():
+            gp = gp_ref[:]
+            match = _sel_match(cx, sw_ref[:])
+            vg = _col(vgap_ref, i)[:, None, None]
+            tmp = jnp.maximum(_shift_r(F + match, NEG), F + vg)
+            carry[:] = _prefix_max(tmp - gp, n_shifts) + gp
 
 
 def prepare_branches_pallas(branches, blen, bmask, subs):
@@ -375,26 +386,22 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     )(sw_p, sg_p, cand_pad, vgap_pad, ds_pad, clen_p, blen_p)
 
     # ---- phase 2: forward + scoring ----
-    def b_row(off):
-        def index(b, t):
-            i = t + off
-            i = i if isinstance(i, int) else i
-            cap = Cb - 1
-            clamped = (min(i, cap) if isinstance(i, int)
-                       else jnp.minimum(i, cap))
-            return (clamped, b, 0, 0)
-        return pl.BlockSpec((1, tile, Rp, W), index,
-                            memory_space=pltpu.VMEM)
+    # step t streams ONE backward row B[min(t, Cb-1)]; B[i] for the
+    # position being scored (i = t-1) carries over in scratch
+    b_row = pl.BlockSpec(
+        (1, tile, Rp, W),
+        lambda b, t: (jnp.minimum(t, Cb - 1), b, 0, 0),
+        memory_space=pltpu.VMEM)
 
     vmem_rows4 = pl.BlockSpec((4, tile, C1), lambda b, t: (0, b, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_forward_score_kernel, Cb=Cb,
                           n_shifts=n_shifts),
-        grid=(nB, Cb + 1),
+        grid=(nB, Cb + 2),
         in_specs=[
             vmem_full, vmem_brw, vmem_brw,
-            b_row(0), b_row(1),
+            b_row,
             vmem_rows,                                # cand
             vmem_rows,                                # vgap
             vmem_b1, vmem_br, vmem_br,
@@ -414,9 +421,10 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
             jax.ShapeDtypeStruct((4, Bp, C1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile, Rp, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, Rp, W), jnp.float32),
+                        pltpu.VMEM((tile, Rp, W), jnp.float32)],
         interpret=interpret,
-    )(sw_p, gp_p, sg_p, bw, bw, cand_pad, vgap_pad, clen_p, blen_p,
+    )(sw_p, gp_p, sg_p, bw, cand_pad, vgap_pad, clen_p, blen_p,
       bmask_p, xgaps)
 
     del_raw, ins4, sub4, total = outs

@@ -448,7 +448,9 @@ class JobFinalize(Job):
 def create_job_list(ctx: RunContext) -> List[Job]:
     jobs: List[Job] = [JobConfigure(ctx), JobAssembly(ctx),
                        JobConsensus(ctx), JobRepeat(ctx)]
-    if ctx.read_type == "raw" and not ctx.args.no_trestle:
+    # opt-in like the reference (flye/main.py:456); --no-trestle kept as
+    # a legacy override
+    if ctx.args.trestle and not ctx.args.no_trestle:
         jobs.append(JobTrestle(ctx))
     jobs.append(JobContigger(ctx))
     if ctx.args.plasmids and not ctx.args.meta:
@@ -539,8 +541,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-m", "--min-overlap", type=int, default=None)
     parser.add_argument("--asm-coverage", type=int, default=None)
     parser.add_argument("--meta", action="store_true")
+    parser.add_argument("--trestle", action="store_true",
+                        help="enable Trestle unbridged-repeat "
+                             "resolution (reference: flye --trestle, "
+                             "opt-in since 2.8)")
     parser.add_argument("--no-trestle", action="store_true",
-                        help="skip unbridged repeat resolution")
+                        help=argparse.SUPPRESS)  # legacy opt-out
     parser.add_argument("--plasmids", action="store_true",
                         help="recover short unassembled plasmids")
     parser.add_argument("--keep-haplotypes", action="store_true")

@@ -112,7 +112,10 @@ class SegmentBatcher:
                 bucket = s
             by_bucket.setdefault(bucket, []).append((i, a, b))
         for bucket, items in by_bucket.items():
-            B = len(items)
+            # rows padded to a power of two: a raw row count would key a
+            # fresh kernel compile per call (~5-15 s each on the remote
+            # TPU compiler); padded rows have zero lengths -> distance 0
+            B = 1 << max(4, (len(items) - 1).bit_length())
             av = np.zeros((B, bucket), dtype=np.uint8)
             bv = np.zeros((B, bucket), dtype=np.uint8)
             al = np.zeros(B, dtype=np.int32)

@@ -48,7 +48,9 @@ def oracle_selected(store, ids, k, w, sample):
 
 
 @pytest.mark.parametrize("k,w,sample", [(15, 5, 1), (17, 1, 1),
-                                        (17, 1, 3), (13, 10, 1)])
+                                        (17, 1, 3), (13, 10, 1),
+                                        (31, 1, 1)])  # k=31: subasm
+                                        # mode; canon<<2 fills uint64
 def test_stream_extract_matches_per_read_oracle(k, w, sample):
     rng = np.random.default_rng(17)
     store = make_reads(rng)

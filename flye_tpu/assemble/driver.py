@@ -68,6 +68,7 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         ovlp_store.set_divergence_threshold(
             cfg.assemble_ovlp_divergence,
             relative=bool(cfg.assemble_divergence_relative))
+        ovlp_store.log_divergence_stats()
 
     chim = ChimeraDetector(
         store, ovlp_store,

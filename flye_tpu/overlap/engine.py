@@ -612,6 +612,36 @@ class OverlapStore:
         logger.debug("Initial divergence estimate: %.4f",
                      self.mean_true_divergence)
 
+    def log_divergence_stats(self) -> None:
+        """Median + ASCII histogram of observed overlap divergences
+        (behavioral equivalent of overlapDivergenceStats,
+        reference: src/sequence/overlap.cpp:829-896): 100 columns over
+        [0, 0.5), 20 rows, current max-divergence cutoff marked '|'."""
+        divs = np.asarray(self.engine.div_stats, dtype=np.float64)
+        if not len(divs):
+            return
+        logger.info("Median overlap divergence: %.6f",
+                    float(np.median(divs)))
+        cols, rows, dmax = 100, 20, 0.5
+        hist, _ = np.histogram(divs, bins=cols, range=(0.0, dmax))
+        peak = max(1, int(hist.max()))
+        cutoff = int(self.engine.max_divergence / dmax * cols)
+        lines = []
+        for h in range(rows - 1, -1, -1):
+            row = [("*" if hist[i] / peak > h / rows else
+                    "|" if i == cutoff else " ") for i in range(cols)]
+            lines.append("    |" + "".join(row))
+        lines.append("    " + "-" * cols)
+        footer = [" "] * cols
+        for i in range(10):
+            for j, ch in enumerate(f"{i * 5}%"):
+                footer[i * cols // 10 + j] = ch
+        lines.append("    " + "".join(footer))
+        q25, q50, q75 = np.percentile(divs, [25, 50, 75])
+        logger.debug("Sequence divergence distribution:\n%s\n"
+                     "    Q25 = %.2f, Q50 = %.2f, Q75 = %.2f",
+                     "\n".join(lines), q25, q50, q75)
+
     def set_divergence_threshold(self, threshold: float,
                                  relative: bool) -> None:
         self.engine.max_divergence = (

@@ -1,0 +1,143 @@
+"""Scale validation: multi-Mb simulated genome E2E on the live chip.
+
+Generates an N-Mb genome (with planted repeats), simulates PacBio-raw
+reads, runs the full pipeline, and reports per-stage wall times plus a
+window-sampled identity estimate vs the truth genome.
+
+Usage: python scripts/run_scale.py [genome_mb] [coverage] [outdir] [mode]
+
+mode: pacbio-raw (default) | nano-raw | pacbio-hifi — picks the CLI
+read-type flag and a matching simulated error profile.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+MODES = {
+    # mode -> (error_rate, (sub, ins, del) mix)
+    "pacbio-raw": (0.08, (0.2, 0.5, 0.3)),
+    "nano-raw": (0.10, (0.35, 0.25, 0.40)),
+    "pacbio-hifi": (0.005, (0.4, 0.3, 0.3)),
+}
+
+
+def window_identity(contigs, genome, n_windows=400, win=2000, seed=0,
+                    k=32):
+    """Sample windows from the contigs, anchor each to the truth genome
+    by an exact k-mer, and edit-distance the window against the anchored
+    truth slice. Returns (mean_identity, n_anchored, n_windows)."""
+    from flye_tpu.io.fasta import COMPLEMENT
+    from flye_tpu.ops.align import edit_distance_batch
+
+    # truth k-mer -> position dict (forward + revcomp)
+    def pack(seq):
+        v = seq[:len(seq) - k + 1].astype(np.uint64)
+        out = np.zeros(len(seq) - k + 1, np.uint64)
+        for i in range(k):
+            out = (out << np.uint64(2)) | seq[i:i + len(out)].astype(
+                np.uint64)
+        return out
+
+    truth_fwd = pack(genome)
+    order = {}
+    for pos, km in enumerate(truth_fwd):
+        order.setdefault(int(km), pos)
+
+    rng = np.random.default_rng(seed)
+    rows_a, rows_b, lens_a, lens_b = [], [], [], []
+    n_anch = 0
+    pad = win // 5
+    S = 1
+    while S < win + 2 * pad + 1:
+        S <<= 1
+    for name, seq in contigs:
+        if len(seq) < win + k:
+            continue
+        per = max(1, int(n_windows * len(seq)
+                         / sum(len(s) for _, s in contigs)))
+        for _ in range(per):
+            st = int(rng.integers(0, len(seq) - win))
+            w = seq[st:st + win]
+            wr = COMPLEMENT[w[::-1]]
+            hit = None
+            for cand, rc in ((w, False), (wr, True)):
+                km = 0
+                for i in range(k):
+                    km = (km << 2) | int(cand[i])
+                if km in order:
+                    hit = (order[km], rc)
+                    break
+            if hit is None:
+                continue
+            tpos, rc = hit
+            a = wr if rc else w
+            t0 = max(0, tpos - pad)
+            tslice = genome[t0:tpos + win + pad]
+            n_anch += 1
+            ra = np.zeros(S, np.uint8)
+            rb = np.zeros(S, np.uint8)
+            ra[:len(a)] = a
+            rb[:len(tslice)] = tslice
+            rows_a.append(ra)
+            rows_b.append(rb)
+            lens_a.append(len(a))
+            lens_b.append(len(tslice))
+    if not rows_a:
+        return 0.0, 0, n_windows
+    d = np.asarray(edit_distance_batch(
+        np.stack(rows_a), np.array(lens_a, np.int32),
+        np.stack(rows_b), np.array(lens_b, np.int32)))
+    # the truth slice is longer by up to 2*pad; subtract the slack so a
+    # perfect window scores ~1.0
+    slack = np.array(lens_b) - np.array(lens_a)
+    ident = 1.0 - np.maximum(d - slack, 0) / np.array(lens_a)
+    return float(ident.mean()), n_anch, n_windows
+
+
+def main():
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.5
+    cov = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+    outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_out"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "pacbio-raw"
+    err, mix = MODES[mode]
+
+    from flye_tpu.io.fasta import write_fasta, read_seq_file
+    from flye_tpu.utils.simulate import random_genome, simulate_reads
+
+    glen = int(mb * 1_000_000)
+    print(f"[scale] genome {glen} bp, coverage {cov}x, mode {mode}",
+          flush=True)
+    genome = random_genome(glen, seed=11,
+                           repeat_spec=[(5000, 3), (2000, 4)])
+    t0 = time.perf_counter()
+    reads = simulate_reads(genome, coverage=cov, mean_length=8000,
+                           error_rate=err, error_mix=mix, seed=7)
+    print(f"[scale] simulated {len(reads)} reads in "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+    reads_path = outdir + ".reads.fasta"
+    write_fasta(reads, reads_path)
+
+    from flye_tpu.main import main as flye_main
+    t0 = time.perf_counter()
+    rc = flye_main([f"--{mode}", reads_path, "-o", outdir,
+                    "-g", f"{glen}"])
+    wall = time.perf_counter() - t0
+    print(f"[scale] pipeline rc={rc} wall={wall:.0f}s", flush=True)
+    if rc != 0:
+        sys.exit(rc)
+
+    contigs = read_seq_file(outdir + "/assembly.fasta")
+    total = sum(len(s) for _, s in contigs)
+    print(f"[scale] {len(contigs)} contigs, {total} bp "
+          f"(truth {glen})", flush=True)
+    for name, seq in contigs:
+        print(f"[scale]   {name}: {len(seq)} bp", flush=True)
+    ident, n_anch, n_win = window_identity(contigs, genome)
+    print(f"[scale] window identity {ident:.5f} "
+          f"({n_anch}/{n_win} windows anchored)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

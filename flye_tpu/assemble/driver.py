@@ -18,7 +18,7 @@ from flye_tpu.assemble.chimera import ChimeraDetector
 from flye_tpu.assemble.extender import Extender
 from flye_tpu.assemble.stitch import generate_disjointig_sequences
 from flye_tpu.config import Config
-from flye_tpu.index import KmerIndex
+from flye_tpu.index import KmerIndex, build_minimizer_index
 from flye_tpu.io.seqstore import SequenceStore
 from flye_tpu.overlap import OverlapEngine, OverlapStore
 from flye_tpu.utils.logs import stage_timer
@@ -31,7 +31,7 @@ def build_read_index(store: SequenceStore, cfg: Config) -> KmerIndex:
     (reference: main_assemble.cpp:207-223)."""
     k = cfg.kmer_size
     if cfg.use_minimizers:
-        return KmerIndex.build_minimizers(
+        return build_minimizer_index(
             store, k, cfg.minimizer_window, min_cov=1,
             repeat_kmer_rate=cfg.repeat_kmer_rate)
     return KmerIndex.build_solid(

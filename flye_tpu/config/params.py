@@ -192,6 +192,15 @@ PIPELINE: Dict[str, object] = {
             "solid_indel": 0.3,
             "max_aln_error": 0.25,
         },
+        # legacy R7 pore chemistry (reference: flye/config/py_cfg.py
+        # ships nano_r7_substitutions.mat alongside r94)
+        "nano_r7": {
+            "subs_matrix": "nano_r7_substitutions",
+            "hopo_matrix": "nano_r7_homopolymers",
+            "solid_missmatch": 0.3,
+            "solid_indel": 0.3,
+            "max_aln_error": 0.25,
+        },
     },
     "scaffold_gap": 100,
 }

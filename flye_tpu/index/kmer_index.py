@@ -194,8 +194,10 @@ class KmerIndex:
                 chunk[:nb] = rows
             else:
                 chunk = np.ascontiguousarray(rows)
+            from flye_tpu.parallel.runtime import get_runtime
             packed = np.asarray(stream_select_packed(
-                jnp.asarray(chunk), starts_dev, jnp.int64(r0),
+                get_runtime().shard_rows(chunk), starts_dev,
+                jnp.int64(r0),
                 jnp.int64(n_total), k=k, w=w, sample=sample, step=step))
             rsel, cols = np.nonzero(packed & 1)
             p = packed[rsel, cols]
@@ -500,8 +502,10 @@ class KmerIndex:
                 chunk[:nb] = rows
             else:
                 chunk = np.ascontiguousarray(rows)
+            from flye_tpu.parallel.runtime import get_runtime
             packed = np.asarray(stream_probe_packed(
-                jnp.asarray(chunk), starts_dev, jnp.int64(r0),
+                get_runtime().shard_rows(chunk), starts_dev,
+                jnp.int64(r0),
                 jnp.int64(n_total), up, rp,
                 jnp.int64(max(0, self.num_kmers - 1)),
                 k=k, step=step, narrow=narrow))

@@ -86,6 +86,11 @@ class RunContext:
             if getattr(args, flag, None):
                 self.platform, self.read_type = platform, rtype
                 self.reads_files = getattr(args, flag)
+        # legacy R7 pore error model (reference ships both r94 and r7
+        # matrices, flye/config/py_cfg.py:52-67)
+        if (self.platform == "nano" and
+                getattr(args, "nano_model", "r94") == "r7"):
+            self.platform = "nano_r7"
         self.cfg: Optional[Config] = None
         self.min_overlap = args.min_overlap or 0
         self.min_read_length = 0
@@ -370,6 +375,8 @@ class JobPolishing(Job):
         self.out_files["polished"] = os.path.join(
             d, "filtered_contigs.fasta")
         self.out_files["stats"] = os.path.join(d, "polished_stats.txt")
+        self.out_files["polished_gfa"] = os.path.join(
+            d, "polished_edges.gfa")
 
     def run(self):
         from flye_tpu.polishing.polisher import polish
@@ -396,6 +403,15 @@ class JobPolishing(Job):
         if not kept:  # never drop the whole assembly
             kept = [(n, s) for n, s in polished if len(s)]
         write_fasta(kept, self.out_files["polished"])
+        # splice polished sequence into the final graph's edges
+        # (reference: flye/main.py:368 -> polish.py:142-207)
+        from flye_tpu.polishing.polished_edges import generate_polished_gfa
+        cdir = os.path.join(self.ctx.out_dir, "30-contigger")
+        n_upd = generate_polished_gfa(
+            os.path.join(cdir, "graph_final.fasta"),
+            os.path.join(cdir, "graph_final.gfa"),
+            kept, self.out_files["polished_gfa"])
+        logger.info("Polished %d graph edge sequences", n_upd)
         with open(self.out_files["stats"], "w") as f:
             f.write("#seq_name\tlength\tcoverage\n")
             for n, s in kept:
@@ -437,12 +453,21 @@ class JobFinalize(Job):
         scaffolds = build_scaffolds(contigs, links)
         write_assembly(contigs, scaffolds, self.out_files["fasta"],
                        self.out_files["info"])
-        # copy final graph files
-        for src, dst in [("graph_final.gfa", "assembly_graph.gfa"),
-                         ("graph_final.gv", "assembly_graph.gv")]:
-            s = os.path.join(self.ctx.out_dir, "30-contigger", src)
-            if os.path.exists(s):
-                shutil.copy(s, os.path.join(self.ctx.out_dir, dst))
+        # final graph: polished-edge GFA when polishing ran
+        # (reference: flye/main.py:269 copies polished_edges.gfa)
+        polished_gfa = os.path.join(self.ctx.out_dir, "40-polishing",
+                                    "polished_edges.gfa")
+        raw_gfa = os.path.join(self.ctx.out_dir, "30-contigger",
+                               "graph_final.gfa")
+        gfa = polished_gfa if os.path.exists(polished_gfa) else raw_gfa
+        if os.path.exists(gfa):
+            shutil.copy(gfa, os.path.join(self.ctx.out_dir,
+                                          "assembly_graph.gfa"))
+        gv = os.path.join(self.ctx.out_dir, "30-contigger",
+                          "graph_final.gv")
+        if os.path.exists(gv):
+            shutil.copy(gv, os.path.join(self.ctx.out_dir,
+                                         "assembly_graph.gv"))
 
 
 def create_job_list(ctx: RunContext) -> List[Job]:
@@ -460,6 +485,11 @@ def create_job_list(ctx: RunContext) -> List[Job]:
 
 
 def run_pipeline(args) -> int:
+    # stand up the parallel runtime first: jax.distributed (multi-host)
+    # + the device mesh every device-plane kernel shards over
+    from flye_tpu.parallel import init_runtime
+    init_runtime(args.shards)
+
     ctx = RunContext(args)
     jobs = create_job_list(ctx)
 
@@ -528,6 +558,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-t", "--threads", type=int, default=1,
                         help="host threads (device parallelism is "
                         "managed by the mesh)")
+    parser.add_argument("--shards", type=int, default=None,
+                        help="device-mesh size (default: all visible "
+                        "devices; index sharding + data-parallel "
+                        "kernels activate when > 1)")
     parser.add_argument("--polish-target", default=None, metavar="FASTA",
                         help="run the standalone polisher on this "
                              "sequence file instead of assembling "
@@ -550,6 +584,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--plasmids", action="store_true",
                         help="recover short unassembled plasmids")
     parser.add_argument("--keep-haplotypes", action="store_true")
+    parser.add_argument("--nano-model", choices=["r94", "r7"],
+                        default="r94",
+                        help="nanopore pore chemistry error model "
+                             "(only with --nano-raw/--nano-corr)")
     parser.add_argument("--extra-params", default=None)
     parser.add_argument("--config", default=None, metavar="CFG",
                         help="reference-format .cfg parameter file "

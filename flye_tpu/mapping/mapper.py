@@ -18,7 +18,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from flye_tpu.index.kmer_index import KmerIndex
+from flye_tpu.index import build_minimizer_index
 from flye_tpu.io.seqstore import SequenceStore
 from flye_tpu.overlap.engine import OverlapEngine
 from flye_tpu.overlap.structs import Overlap
@@ -34,7 +34,7 @@ class ReadMapper:
                  secondary_ratio: float = 0.5, max_secondary: int = 10,
                  max_divergence: float = 0.5):
         self.targets = targets
-        self.index = KmerIndex.build_minimizers(targets, k, w)
+        self.index = build_minimizer_index(targets, k, w)
         self.engine = OverlapEngine(
             targets, self.index,
             max_jump=max_jump,

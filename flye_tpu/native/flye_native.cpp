@@ -13,8 +13,10 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 // ---------------------------------------------------------------------
@@ -196,6 +198,323 @@ static PyObject* window_coverage(PyObject*, PyObject* args) {
   return out;
 }
 
+// ---------------------------------------------------------------------
+// polish_bubbles_host: CPU-fallback bubble polisher.
+//
+// Same hill-climbing semantics as the device kernel (ops/polish.py —
+// itself a port of the reference GeneralPolisher,
+// reference: src/polishing/general_polisher.cpp:8-125): per iteration,
+// forward/backward DP tensors score every single-base del/ins/sub
+// against all branches at once; improving edits apply greedily
+// (best-gain first, skipping adjacent positions), with a monotonicity
+// guard that falls back to the single best edit.  The device kernel is
+// the production path; this exists so CPU-only runs (tests, dev boxes)
+// aren't 100x slower than the reference's threaded C++.
+// ---------------------------------------------------------------------
+struct PolishScratch {
+  std::vector<float> F, B;       // (L+1) x (S+1) DP matrices
+  std::vector<float> del_sc;     // L+1
+  std::vector<float> ins_sc, sub_sc;  // 4 x (L+1)
+  std::vector<float> rowx;       // S+1
+};
+
+static void polish_one(const unsigned char* cand_in, int clen_in, int Cb,
+                       const unsigned char* branches, const int32_t* blen,
+                       const unsigned char* bmask, int R, int S,
+                       const float* M, int max_iters, float eps,
+                       unsigned char* cand_out, int32_t* len_out,
+                       float* score_out, int32_t* iters_out,
+                       PolishScratch& sc) {
+  std::vector<unsigned char> cand(cand_in, cand_in + Cb);
+  int L = clen_in;
+  const int W = S + 1;
+  float total = 0.f;
+  int it = 0;
+  std::vector<unsigned char> prev;
+  for (; it < max_iters; ++it) {
+    int Lp1 = L + 1;
+    sc.del_sc.assign(Lp1, 0.f);
+    sc.ins_sc.assign(4 * (size_t)Lp1, 0.f);
+    sc.sub_sc.assign(4 * (size_t)Lp1, 0.f);
+    total = 0.f;
+    for (int r = 0; r < R; ++r) {
+      if (!bmask[r]) continue;
+      const unsigned char* w = branches + (size_t)r * S;
+      const int Sr = blen[r];
+      sc.F.resize((size_t)Lp1 * (Sr + 1));
+      sc.B.resize((size_t)Lp1 * (Sr + 1));
+      float* F = sc.F.data();
+      float* B = sc.B.data();
+      // forward: F[i][j] = best score cand[0:i] vs branch[0:j]
+      F[0] = 0.f;
+      for (int j = 1; j <= Sr; ++j) F[j] = F[j - 1] + M[4 * 5 + w[j - 1]];
+      for (int i = 1; i <= L; ++i) {
+        const int c = cand[i - 1];
+        float* fi = F + (size_t)i * (Sr + 1);
+        const float* fp = fi - (Sr + 1);
+        const float vg = M[c * 5 + 4];
+        fi[0] = fp[0] + vg;
+        for (int j = 1; j <= Sr; ++j) {
+          float best = fp[j - 1] + M[c * 5 + w[j - 1]];
+          float t = fp[j] + vg;
+          if (t > best) best = t;
+          t = fi[j - 1] + M[4 * 5 + w[j - 1]];
+          if (t > best) best = t;
+          fi[j] = best;
+        }
+      }
+      // backward: B[i][j] = best score cand[i:L] vs branch[j:Sr]
+      float* bl = B + (size_t)L * (Sr + 1);
+      bl[Sr] = 0.f;
+      for (int j = Sr - 1; j >= 0; --j) bl[j] = bl[j + 1] + M[4 * 5 + w[j]];
+      for (int i = L - 1; i >= 0; --i) {
+        const int c = cand[i];
+        float* bi = B + (size_t)i * (Sr + 1);
+        const float* bn = bi + (Sr + 1);
+        const float vg = M[c * 5 + 4];
+        bi[Sr] = bn[Sr] + vg;
+        for (int j = Sr - 1; j >= 0; --j) {
+          float best = bn[j + 1] + M[c * 5 + w[j]];
+          float t = bn[j] + vg;
+          if (t > best) best = t;
+          t = bi[j + 1] + M[4 * 5 + w[j]];
+          if (t > best) best = t;
+          bi[j] = best;
+        }
+      }
+      total += F[(size_t)L * (Sr + 1) + Sr];
+      // edit scores
+      sc.rowx.resize(Sr + 1);
+      float* rowx = sc.rowx.data();
+      for (int p = 0; p <= L; ++p) {
+        const float* Fp = F + (size_t)p * (Sr + 1);
+        const float* Bp = B + (size_t)p * (Sr + 1);
+        const float* Bn = (p < L) ? Bp + (Sr + 1) : nullptr;
+        if (p < L) {
+          // deletion of cand[p]
+          float best = -1e30f;
+          for (int j = 0; j <= Sr; ++j) {
+            float t = Fp[j] + Bn[j];
+            if (t > best) best = t;
+          }
+          sc.del_sc[p] += best;
+        }
+        for (int x = 0; x < 4; ++x) {
+          const float xg = M[x * 5 + 4];
+          rowx[0] = Fp[0] + xg;
+          for (int j = 1; j <= Sr; ++j) {
+            float a = Fp[j - 1] + M[x * 5 + w[j - 1]];
+            float b = Fp[j] + xg;
+            rowx[j] = a > b ? a : b;
+          }
+          float besti = -1e30f;
+          for (int j = 0; j <= Sr; ++j) {
+            float t = rowx[j] + Bp[j];
+            if (t > besti) besti = t;
+          }
+          sc.ins_sc[(size_t)x * Lp1 + p] += besti;
+          if (p < L) {
+            float bests = -1e30f;
+            for (int j = 0; j <= Sr; ++j) {
+              float t = rowx[j] + Bn[j];
+              if (t > bests) bests = t;
+            }
+            sc.sub_sc[(size_t)x * Lp1 + p] += bests;
+          }
+        }
+      }
+    }
+    // gather improving edits: type 0=del, 1=ins, 2=sub
+    struct Edit { float gain; int pos; int type; int chr; };
+    std::vector<Edit> edits;
+    const float thr = total + eps;
+    for (int p = 0; p < L; ++p) {
+      if (sc.del_sc[p] > thr)
+        edits.push_back({sc.del_sc[p] - total, p, 0, 0});
+    }
+    for (int p = 0; p <= L; ++p) {
+      float best = -1e30f; int bx = 0;
+      for (int x = 0; x < 4; ++x) {
+        float v = sc.ins_sc[(size_t)x * Lp1 + p];
+        if (v > best) { best = v; bx = x; }
+      }
+      if (best > thr) edits.push_back({best - total, p, 1, bx});
+    }
+    for (int p = 0; p < L; ++p) {
+      float best = -1e30f; int bx = 0;
+      for (int x = 0; x < 4; ++x) {
+        if (x == cand[p]) continue;
+        float v = sc.sub_sc[(size_t)x * Lp1 + p];
+        if (v > best) { best = v; bx = x; }
+      }
+      if (best > thr) edits.push_back({best - total, p, 2, bx});
+    }
+    if (edits.empty()) break;
+    std::stable_sort(edits.begin(), edits.end(),
+                     [](const Edit& a, const Edit& b) {
+                       if (a.gain != b.gain) return a.gain > b.gain;
+                       if (a.pos != b.pos) return a.pos < b.pos;
+                       return a.type < b.type;
+                     });
+    // apply greedily, best gain first, skipping adjacent positions
+    prev.assign(cand.begin(), cand.end());
+    const int prev_L = L;
+    std::vector<char> used(L + 2, 0);
+    std::vector<Edit> applied;
+    int n_ins = 0, n_del = 0;
+    for (const Edit& e : edits) {
+      bool clash = false;
+      for (int d = -1; d <= 1; ++d) {
+        int q = e.pos + d;
+        if (q >= 0 && q <= L && used[q]) { clash = true; break; }
+      }
+      if (clash) continue;
+      if (e.type == 1 && L + n_ins - n_del + 1 > Cb) continue;
+      n_ins += e.type == 1;
+      n_del += e.type == 0;
+      used[e.pos] = 1;
+      applied.push_back(e);
+    }
+    // apply in descending position order so indices stay valid
+    std::stable_sort(applied.begin(), applied.end(),
+                     [](const Edit& a, const Edit& b) {
+                       return a.pos > b.pos;
+                     });
+    for (const Edit& e : applied) {
+      if (e.type == 0) {
+        cand.erase(cand.begin() + e.pos);
+        --L;
+      } else if (e.type == 1) {
+        cand.insert(cand.begin() + e.pos, (unsigned char)e.chr);
+        ++L;
+      } else {
+        cand[e.pos] = (unsigned char)e.chr;
+      }
+    }
+    if ((int)cand.size() < Cb) cand.resize(Cb, 0);
+    else if ((int)cand.size() > Cb) { cand.resize(Cb); }
+    if (applied.size() > 1) {
+      // monotonicity guard: simultaneous edits interacted badly -> keep
+      // only the single best edit (recompute next iteration)
+      float new_total = 0.f;
+      for (int r = 0; r < R; ++r) {
+        if (!bmask[r]) continue;
+        const unsigned char* w = branches + (size_t)r * S;
+        const int Sr = blen[r];
+        sc.F.resize((size_t)(L + 1) * (Sr + 1));
+        float* F = sc.F.data();
+        F[0] = 0.f;
+        for (int j = 1; j <= Sr; ++j)
+          F[j] = F[j - 1] + M[4 * 5 + w[j - 1]];
+        for (int i = 1; i <= L; ++i) {
+          const int c = cand[i - 1];
+          float* fi = F + (size_t)i * (Sr + 1);
+          const float* fp = fi - (Sr + 1);
+          const float vg = M[c * 5 + 4];
+          fi[0] = fp[0] + vg;
+          for (int j = 1; j <= Sr; ++j) {
+            float best = fp[j - 1] + M[c * 5 + w[j - 1]];
+            float t = fp[j] + vg;
+            if (t > best) best = t;
+            t = fi[j - 1] + M[4 * 5 + w[j - 1]];
+            if (t > best) best = t;
+            fi[j] = best;
+          }
+        }
+        new_total += F[(size_t)L * (Sr + 1) + Sr];
+      }
+      if (new_total < total) {
+        cand.assign(prev.begin(), prev.end());
+        cand.resize(Cb, 0);
+        L = prev_L;
+        // reapply just the highest-gain edit
+        const Edit* best = &applied.front();
+        for (const Edit& a : applied)
+          if (a.gain > best->gain) best = &a;
+        if (best->type == 0) {
+          cand.erase(cand.begin() + best->pos);
+          --L;
+        } else if (best->type == 1) {
+          cand.insert(cand.begin() + best->pos,
+                      (unsigned char)best->chr);
+          ++L;
+        } else {
+          cand[best->pos] = (unsigned char)best->chr;
+        }
+        cand.resize(Cb, 0);
+      }
+    }
+  }
+  std::memcpy(cand_out, cand.data(), Cb);
+  *len_out = L;
+  *score_out = total;
+  *iters_out = it;
+}
+
+static PyObject* polish_bubbles_host(PyObject*, PyObject* args) {
+  Py_buffer cand_buf, clen_buf, br_buf, blen_buf, bmask_buf, subs_buf;
+  Py_ssize_t Bn;
+  int Cb, R, S, max_iters;
+  float eps;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*niiiif", &cand_buf, &clen_buf,
+                        &br_buf, &blen_buf, &bmask_buf, &subs_buf, &Bn,
+                        &Cb, &R, &S, &max_iters, &eps)) {
+    return nullptr;
+  }
+  const unsigned char* cand = static_cast<const unsigned char*>(cand_buf.buf);
+  const int32_t* clen = static_cast<const int32_t*>(clen_buf.buf);
+  const unsigned char* branches = static_cast<const unsigned char*>(br_buf.buf);
+  const int32_t* blen = static_cast<const int32_t*>(blen_buf.buf);
+  const unsigned char* bmask = static_cast<const unsigned char*>(bmask_buf.buf);
+  const float* subs = static_cast<const float*>(subs_buf.buf);
+
+  std::vector<unsigned char> out_cand((size_t)Bn * Cb);
+  std::vector<int32_t> out_len(Bn);
+  std::vector<float> out_score(Bn);
+  std::vector<int32_t> out_iters(Bn);
+
+  std::atomic<Py_ssize_t> next(0);
+  auto worker = [&]() {
+    PolishScratch sc;
+    for (;;) {
+      Py_ssize_t b = next.fetch_add(1);
+      if (b >= Bn) break;
+      polish_one(cand + (size_t)b * Cb, clen[b], Cb,
+                 branches + (size_t)b * R * S, blen + (size_t)b * R,
+                 bmask + (size_t)b * R, R, S, subs, max_iters, eps,
+                 out_cand.data() + (size_t)b * Cb, &out_len[b],
+                 &out_score[b], &out_iters[b], sc);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = hw ? (int)hw : 2;
+  if (nt > Bn) nt = (int)Bn;
+  if (nt < 1) nt = 1;
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  PyObject* cand_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out_cand.data()), out_cand.size());
+  PyObject* len_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out_len.data()),
+      out_len.size() * sizeof(int32_t));
+  PyObject* score_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out_score.data()),
+      out_score.size() * sizeof(float));
+  PyObject* iters_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out_iters.data()),
+      out_iters.size() * sizeof(int32_t));
+  for (Py_buffer* pb : {&cand_buf, &clen_buf, &br_buf, &blen_buf,
+                        &bmask_buf, &subs_buf}) {
+    PyBuffer_Release(pb);
+  }
+  return Py_BuildValue("NNNN", cand_b, len_b, score_b, iters_b);
+}
+
 static PyMethodDef methods[] = {
     {"backtrack_chains", backtrack_chains, METH_VARARGS,
      "Score-ordered chain backtracking with visited marking"},
@@ -203,6 +522,8 @@ static PyMethodDef methods[] = {
      "Parse FASTA/FASTQ bytes into a 2-bit code arena"},
     {"window_coverage", window_coverage, METH_VARARGS,
      "Interval -> window coverage counting"},
+    {"polish_bubbles_host", polish_bubbles_host, METH_VARARGS,
+     "Threaded CPU-fallback bubble polisher (hill climbing)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT,

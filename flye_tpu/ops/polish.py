@@ -415,6 +415,34 @@ def _select_apply(cand, cand_len, done, streak, it_count,
     return body(cand, cand_len, done, streak, it_count)
 
 
+def _polish_bubbles_native(cand, cand_len, branches, blen, bmask, subs,
+                           max_iters: int, eps: float = 1e-3):
+    """CPU fallback through flye_native.polish_bubbles_host; None when
+    the native module is unavailable."""
+    import numpy as np
+
+    from flye_tpu import native
+    mod = native.get()
+    if mod is None or not hasattr(mod, "polish_bubbles_host"):
+        return None
+    cand = np.ascontiguousarray(cand, dtype=np.uint8)
+    Bn, Cb = cand.shape
+    _, R, S = branches.shape
+    out = mod.polish_bubbles_host(
+        cand.tobytes(),
+        np.ascontiguousarray(cand_len, np.int32).tobytes(),
+        np.ascontiguousarray(branches, np.uint8).tobytes(),
+        np.ascontiguousarray(blen, np.int32).tobytes(),
+        np.ascontiguousarray(bmask, np.uint8).tobytes(),
+        np.ascontiguousarray(subs, np.float32).tobytes(),
+        Bn, Cb, R, S, int(max_iters), float(eps))
+    cand_b, len_b, score_b, iters_b = out
+    return (np.frombuffer(cand_b, np.uint8).reshape(Bn, Cb),
+            np.frombuffer(len_b, np.int32),
+            np.frombuffer(score_b, np.float32),
+            np.frombuffer(iters_b, np.int32))
+
+
 def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
                    max_iters: int, block_size: int = 64,
                    steepest: bool = True, use_pallas=None):
@@ -431,6 +459,18 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     Returns (cand [B, Cb], cand_len [B], score [B], iters [B]).
     """
     import numpy as np
+
+    # CPU backend: the threaded native (C++) hill climber replaces the
+    # jnp scan formulation, which rescans the full F/B tensors every
+    # iteration and runs ~100x slower than the reference's threaded C++
+    # on CPU.  Only engaged when the caller didn't pin a path
+    # (use_pallas=None), so kernel-equivalence tests still exercise the
+    # jnp program.
+    if use_pallas is None and jax.default_backend() == "cpu":
+        native_out = _polish_bubbles_native(cand, cand_len, branches,
+                                            blen, bmask, subs, max_iters)
+        if native_out is not None:
+            return native_out
 
     # Branch-group tiling: buckets with many branches split into lanes
     # of <=8 branches (score sums over branches decompose exactly; the
@@ -466,15 +506,21 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
         from flye_tpu.ops.polish_pallas import prepare_branches_pallas
         prep = prepare_branches_pallas(branches, blen, bmask, subs)
     Bb = cand.shape[0]
-    done = jnp.zeros((Bb,), bool)
-    streak = jnp.zeros((Bb,), jnp.int32)
+    # bubble batch axis sharded over the runtime mesh — the polish phase
+    # is embarrassingly parallel over windows (the reference runs it as
+    # N worker threads, bubble_processor.h:29); XLA partitions the
+    # jitted step across devices, no collectives needed
+    from flye_tpu.parallel.runtime import get_runtime
+    rt = get_runtime()
+    done = rt.shard_rows(np.zeros((Bb,), bool))
+    streak = rt.shard_rows(np.zeros((Bb,), np.int32))
     iters = np.zeros(Bb, np.int64)
-    score = jnp.zeros((Bb,), jnp.float32)
-    cand = jnp.asarray(cand)
-    cand_len = jnp.asarray(cand_len, jnp.int32)
-    branches = jnp.asarray(branches)
-    blen = jnp.asarray(blen, jnp.int32)
-    bmask = jnp.asarray(bmask)
+    score = rt.shard_rows(np.zeros((Bb,), np.float32))
+    cand = rt.shard_rows(np.asarray(cand))
+    cand_len = rt.shard_rows(np.asarray(cand_len, np.int32))
+    branches = rt.shard_rows(np.asarray(branches))
+    blen = rt.shard_rows(np.asarray(blen, np.int32))
+    bmask = rt.shard_rows(np.asarray(bmask))
     subs = jnp.asarray(subs, jnp.float32)
     # convergence is polled every poll_every iterations: each poll is a
     # blocking device->host sync, while un-polled steps pipeline freely

@@ -84,7 +84,8 @@ class OverlapEngine:
     # ------------------------------------------------------------------
 
     def _collect_matches_batch(self, query_store: SequenceStore,
-                               sids: Sequence[int]):
+                               sids: Sequence[int],
+                               symmetric: bool = True):
         """Probe the index with every k-mer of a batch of query strands
         in one flat-stream device pass, then gather postings for the
         whole batch at once. Yields per-sid match tuples."""
@@ -116,10 +117,15 @@ class OverlapEngine:
             ext_pos = np.where(same, t_pos,
                                tlen - self.k - t_pos).astype(np.int32)
             # drop trivial self-matches (reference: overlap.cpp:190-192)
-            sid_m = np.asarray(sids, dtype=np.int64)[qi_m]
-            keep = ~((ext_id == sid_m) & (ext_pos == m_qpos))
-            m_qpos, ext_id, ext_pos, qi_m = (
-                m_qpos[keep], ext_id[keep], ext_pos[keep], qi_m[keep])
+            # — only in symmetric (ava) mode: in mapping mode query and
+            # target ids come from different stores, so equal numbers
+            # are unrelated sequences (the reference's ids are globally
+            # unique across containers, sequence_container.h:29-33)
+            if symmetric:
+                sid_m = np.asarray(sids, dtype=np.int64)[qi_m]
+                keep = ~((ext_id == sid_m) & (ext_pos == m_qpos))
+                m_qpos, ext_id, ext_pos, qi_m = (
+                    m_qpos[keep], ext_id[keep], ext_pos[keep], qi_m[keep])
             # per-query split points (qi_m is non-decreasing: hits come
             # in stream order and postings expand in place)
             bounds = np.searchsorted(qi_m, np.arange(len(sids) + 1))
@@ -159,7 +165,9 @@ class OverlapEngine:
         batch (cross-read batching keeps the device busy; the reference
         parallelizes the same loop over threads,
         reference: overlap.cpp:630-668)."""
-        per_sid = self._collect_matches_batch(query_store, sids)
+        symmetric = query_store is self.targets
+        per_sid = self._collect_matches_batch(query_store, sids,
+                                              symmetric)
 
         # collect chain groups across all queries
         min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
@@ -225,7 +233,7 @@ class OverlapEngine:
                 continue
             ext_ovlps = self._extract_overlaps(
                 sid, cur_len, eid, elen, gcur, gext, score, parent,
-                filtered_pos, force_local, stride)
+                filtered_pos, force_local, stride, symmetric)
             if not ext_ovlps:
                 continue
             ext_ovlps.sort(key=lambda o: -o.score)
@@ -286,6 +294,10 @@ class OverlapEngine:
                 cur[r, :m] = gcur[:m]
                 ext[r, :m] = gext[:m]
                 nv[r] = m
+            # batch axis sharded over the runtime mesh (the data-parallel
+            # analog of the reference's per-thread chaining loops)
+            from flye_tpu.parallel.runtime import get_runtime
+            cur, ext, nv = get_runtime().shard_rows(cur, ext, nv)
             score, parent = chain_dp(cur, ext, nv, self.k, self.max_jump,
                                      lookback=min(_LOOKBACK, bucket))
             # one stacked fetch, sliced to the live rows: each separate
@@ -300,7 +312,7 @@ class OverlapEngine:
 
     def _extract_overlaps(self, cur_id, cur_len, eid, elen, gcur, gext,
                           score, parent, filtered_pos, force_local,
-                          stride=1):
+                          stride=1, symmetric=True):
         """Backtrack chains and apply the overlap sanity tests
         (reference: overlap.cpp:330-427 + overlapTest overlap.cpp:29-69)."""
         k = self.k
@@ -315,7 +327,7 @@ class OverlapEngine:
                          int(gcur[first]), int(gcur[last]) + k - 1, cur_len,
                          int(gext[first]), int(gext[last]) + k - 1, elen,
                          score=cscore)
-            if not self._overlap_test(ov, force_local):
+            if not self._overlap_test(ov, force_local, symmetric):
                 continue
             # sparse anchor trace (kept for projection / divergence)
             cpath = gcur[path]
@@ -353,21 +365,24 @@ class OverlapEngine:
             out.append(ov)
         return out
 
-    def _overlap_test(self, ov: Overlap, force_local: bool) -> bool:
+    def _overlap_test(self, ov: Overlap, force_local: bool,
+                      symmetric: bool = True) -> bool:
         if ov.cur_range < self.min_overlap or ov.ext_range < self.min_overlap:
             return False
         # overly length-divergent overlaps (reference: overlap.cpp:40-46)
         if (abs(ov.cur_range - ov.ext_range) >
                 0.5 * min(ov.cur_range, ov.ext_range)):
             return False
+        # the self tests only apply when query and target share a store
+        # (equal ids across different stores are unrelated sequences)
         # self-intersection (reference: overlap.cpp:48-54)
-        if ov.cur_id == ov.ext_id:
+        if symmetric and ov.cur_id == ov.ext_id:
             intersect = (min(ov.cur_end, ov.ext_end) -
                          max(ov.cur_begin, ov.ext_begin))
             if intersect > ov.cur_range // 2:
                 return False
         # PacBio strand-skip pattern (reference: overlap.cpp:56-65)
-        if ov.cur_id == SeqId(ov.ext_id).rc:
+        if symmetric and ov.cur_id == SeqId(ov.ext_id).rc:
             intersect = (min(ov.cur_end, ov.ext_len - ov.ext_begin) -
                          max(ov.cur_begin, ov.ext_len - ov.ext_end))
             if intersect > ov.cur_range // 2:
@@ -531,18 +546,25 @@ class OverlapStore:
         for fwd_id in list(self._cache.keys()):
             all_ids.extend([fwd_id, fwd_id + 1])
         to_add: Dict[int, List[Overlap]] = {}
+        # per-sid {ext_id: index} maps make each reverse lookup O(1)
+        # instead of a linear scan of the ext list (the scans dominated
+        # the host side of find_all_overlaps at high coverage)
+        if only_max_ext:
+            ext_pos: Dict[int, Dict[int, int]] = {}
+            for sid in all_ids:
+                d: Dict[int, int] = {}
+                for i, ov in enumerate(self._unsafe(sid)):
+                    d.setdefault(ov.ext_id, i)  # first entry wins
+                ext_pos[sid] = d
         for sid in all_ids:
             for ov in self._unsafe(sid):
-                ext_list = self._unsafe(ov.ext_id)
                 if only_max_ext:
-                    found = False
-                    for i, eo in enumerate(ext_list):
-                        if eo.ext_id == ov.cur_id:
-                            if ov.score > eo.score:
-                                ext_list[i] = ov.reverse()
-                            found = True
-                            break
-                    if not found:
+                    ext_list = self._unsafe(ov.ext_id)
+                    i = ext_pos.get(ov.ext_id, {}).get(ov.cur_id)
+                    if i is not None:
+                        if ov.score > ext_list[i].score:
+                            ext_list[i] = ov.reverse()
+                    else:
                         to_add.setdefault(ov.ext_id, []).append(ov.reverse())
                 else:
                     to_add.setdefault(ov.ext_id, []).append(ov.reverse())
@@ -551,26 +573,47 @@ class OverlapStore:
 
     def filter_overlaps(self) -> None:
         """Cluster near-duplicate overlaps per read and keep the best
-        (reference: overlap.cpp:681-741)."""
+        (reference: overlap.cpp:681-741).
+
+        Pairwise comparisons run as NumPy broadcasts per (read, ext)
+        group instead of Python object loops — the O(n^2)-pair
+        attribute-access loop dominated host time at high coverage."""
         max_ends_diff = self.engine.k
         for sid in [i for f in self._cache for i in (f, f + 1)]:
             ovlps = self._unsafe(sid)
-            if not ovlps:
+            n = len(ovlps)
+            if not n:
                 continue
+            ext = np.fromiter((o.ext_id for o in ovlps), np.int64, n)
+            cb = np.fromiter((o.cur_begin for o in ovlps), np.int64, n)
+            ce = np.fromiter((o.cur_end for o in ovlps), np.int64, n)
+            eb = np.fromiter((o.ext_begin for o in ovlps), np.int64, n)
+            ee = np.fromiter((o.ext_end for o in ovlps), np.int64, n)
+            order = np.argsort(ext, kind="stable")
+            bounds = np.flatnonzero(np.concatenate(
+                [[True], ext[order][1:] != ext[order][:-1]]))
+            bounds = np.append(bounds, n)
             ds = DisjointSet()
-            for i in range(len(ovlps)):
+            for i in range(n):
                 ds.add(i)
-            by_ext: Dict[int, List[int]] = {}
-            for i, ov in enumerate(ovlps):
-                by_ext.setdefault(ov.ext_id, []).append(i)
-            for idxs in by_ext.values():
-                for ai in range(len(idxs)):
-                    for bi in range(ai + 1, len(idxs)):
-                        o1, o2 = ovlps[idxs[ai]], ovlps[idxs[bi]]
-                        cur_diff = o1.cur_range - o1.cur_intersect(o2)
-                        ext_diff = o1.ext_range - o1.ext_intersect(o2)
-                        if cur_diff < max_ends_diff and ext_diff < max_ends_diff:
-                            ds.union(idxs[ai], idxs[bi])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s < 2:
+                    continue
+                g = order[s:e]
+                # o1 = the earlier-listed overlap of the pair (matches
+                # the original loop's o1/o2 orientation)
+                ii, jj = np.meshgrid(g, g, indexing="ij")
+                up = ii < jj
+                cur_int = (np.minimum(ce[ii], ce[jj])
+                           - np.maximum(cb[ii], cb[jj]))
+                ext_int = (np.minimum(ee[ii], ee[jj])
+                           - np.maximum(eb[ii], eb[jj]))
+                cur_diff = (ce[ii] - cb[ii]) - cur_int
+                ext_diff = (ee[ii] - eb[ii]) - ext_int
+                close = (up & (cur_diff < max_ends_diff)
+                         & (ext_diff < max_ends_diff))
+                for a, b in zip(ii[close], jj[close]):
+                    ds.union(int(a), int(b))
             new = []
             for members in ds.groups().values():
                 best = max(members, key=lambda i: ovlps[i].score)

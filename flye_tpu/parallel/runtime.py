@@ -1,0 +1,110 @@
+"""Global parallel runtime: the mesh the production pipeline runs on.
+
+Round-1 shipped the distribution pieces (mesh collectives, hash-sharded
+index, jax.distributed init) as a side-car; this module makes them the
+pipeline's spine.  `init_runtime()` is called once by the CLI: it
+initializes `jax.distributed` (no-op single-process), builds a 1-D
+`Mesh(("data",))` over all addressable devices, and publishes it as the
+process-global `ParallelContext`.  Every device-plane consumer then
+routes through the context:
+
+- index builds use the all-to-all mesh build
+  (`ShardedKmerIndex.build_minimizers_mesh`) when the mesh has >1 device;
+- batched kernels (flat-stream extraction/probe, chain DP, polish DP)
+  shard their leading batch axis over the mesh via `shard_rows`, letting
+  XLA partition the jitted program across devices (GSPMD) — the direct
+  analog of the reference's thread pool over every hot loop
+  (reference: src/common/parallel.h:14-58, 13 call sites);
+- the host-plane graph phase runs on `is_coordinator()` only.
+
+All sharded programs are deterministic: integer psum reductions and a
+fixed all-to-all routing keep results bit-identical across device counts
+(asserted by tests/test_distributed_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+logger = logging.getLogger("flye_tpu")
+
+_runtime: Optional["ParallelContext"] = None
+
+
+class ParallelContext:
+    """The mesh + process topology the pipeline runs on."""
+
+    def __init__(self, mesh=None, process_index: int = 0,
+                 process_count: int = 1):
+        self.mesh = mesh
+        self.process_index = process_index
+        self.process_count = process_count
+
+    @property
+    def n_devices(self) -> int:
+        return int(self.mesh.size) if self.mesh is not None else 1
+
+    @property
+    def active(self) -> bool:
+        """True when kernels should shard over a >1-device mesh."""
+        return self.mesh is not None and self.mesh.size > 1
+
+    def data_sharding(self, ndim: int = 1):
+        """NamedSharding partitioning axis 0 over 'data'."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*(("data",) + (None,) * (ndim - 1)))
+        return NamedSharding(self.mesh, spec)
+
+    def shard_rows(self, *arrays):
+        """Place host arrays on the mesh, batch axis 0 split over
+        'data' (rows must divide the device count — callers use
+        power-of-two row batches).  Identity (plain device transfer)
+        when no mesh is active."""
+        import jax
+        import jax.numpy as jnp
+        if not self.active:
+            out = tuple(jnp.asarray(a) for a in arrays)
+            return out if len(out) > 1 else out[0]
+        out = tuple(
+            jax.device_put(a, self.data_sharding(a.ndim))
+            if a.shape[0] % self.n_devices == 0 else jnp.asarray(a)
+            for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+
+def init_runtime(n_shards: Optional[int] = None) -> ParallelContext:
+    """Initialize the pipeline's parallel runtime (CLI entry).
+
+    Connects multi-host processes via jax.distributed (a no-op without a
+    pod-slice configuration), then builds the data mesh over all global
+    devices.  `n_shards` overrides the mesh size (testing / downscaling);
+    mesh sharding activates whenever more than one device participates.
+    """
+    from flye_tpu.parallel.distributed import init_distributed
+    from flye_tpu.parallel.mesh import make_mesh
+
+    global _runtime
+    pidx, pcount = init_distributed()
+    import jax
+    n = n_shards or jax.device_count()
+    mesh = make_mesh(n, axes=("data",)) if n > 1 else None
+    _runtime = ParallelContext(mesh, pidx, pcount)
+    if mesh is not None:
+        logger.info("Parallel runtime: %d devices (%s), %d process(es)",
+                    n, jax.devices()[0].platform, pcount)
+    return _runtime
+
+
+def get_runtime() -> ParallelContext:
+    """The active context; defaults to single-device when the CLI
+    didn't initialize one (library use, unit tests)."""
+    global _runtime
+    if _runtime is None:
+        _runtime = ParallelContext()
+    return _runtime
+
+
+def set_runtime(ctx: Optional[ParallelContext]) -> None:
+    global _runtime
+    _runtime = ctx

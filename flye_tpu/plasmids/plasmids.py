@@ -16,7 +16,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from flye_tpu.index.kmer_index import KmerIndex
+from flye_tpu.index import build_minimizer_index
 from flye_tpu.io.seqstore import SeqId, SequenceStore
 from flye_tpu.mapping.mapper import ReadMapper
 from flye_tpu.overlap.engine import OverlapEngine
@@ -59,7 +59,7 @@ def find_circular_reads(store: SequenceStore, ids: List[int],
         id_map[int(new)] = sid
     if not len(sub):
         return []
-    index = KmerIndex.build_minimizers(sub, k, w)
+    index = build_minimizer_index(sub, k, w)
     # circularity only needs a short start-to-end self-match
     # (reference: circular_sequences.py uses minimap self-ava hits)
     engine = OverlapEngine(sub, index, max_jump=1500,

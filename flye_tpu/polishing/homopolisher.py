@@ -28,7 +28,8 @@ logger = logging.getLogger("flye_tpu")
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 _MAX_STATE = 20
 _MAX_OBS = 32
-_PLATFORM_FILES = {"pacbio": "hopo_pacbio.npz", "nano": "hopo_nano_r94.npz"}
+_PLATFORM_FILES = {"pacbio": "hopo_pacbio.npz", "nano": "hopo_nano_r94.npz",
+                   "nano_r7": "hopo_nano_r7.npz"}
 _cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
 

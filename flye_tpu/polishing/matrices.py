@@ -31,6 +31,14 @@ _PLATFORM_PROBS = {
         "ins": {"A": 0.0267382405, "C": 0.0187951126, "T": 0.0208484604,
                 "G": 0.0216606426},
     },
+    "nano_r7": {  # reference: flye/config/bin_cfg/nano_r7_substitutions.mat
+        "mat": {"A": 0.88837, "C": 0.84933, "T": 0.88804, "G": 0.84354},
+        "mis": {"CG": 0.02182, "AT": 0.00686, "TA": 0.00697, "AG": 0.01796,
+                "CT": 0.02111, "TC": 0.01629, "GA": 0.02185, "GT": 0.02049,
+                "CA": 0.02145, "GC": 0.02310, "TG": 0.01666, "AC": 0.01530},
+        "del": {"A": 0.07152, "C": 0.08629, "T": 0.07204, "G": 0.09101},
+        "ins": {"A": 0.01743, "C": 0.01750, "T": 0.01745, "G": 0.01832},
+    },
     "nano": {  # r94
         "mat": {"A": 0.90352852413, "C": 0.899563198899, "G": 0.899432537076,
                 "T": 0.903558166301},

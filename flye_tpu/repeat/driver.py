@@ -14,7 +14,7 @@ import os
 from typing import Optional
 
 from flye_tpu.config import Config
-from flye_tpu.index import KmerIndex
+from flye_tpu.index import build_minimizer_index
 from flye_tpu.io.seqstore import SequenceStore
 from flye_tpu.overlap import OverlapEngine, OverlapStore
 from flye_tpu.repeat.graph import RepeatGraph
@@ -35,7 +35,7 @@ def analyse_repeats(disjointigs: SequenceStore, reads: SequenceStore,
     with stage_timer("repeat graph construction"):
         k = cfg.kmer_size
         w = cfg.minimizer_window if cfg.use_minimizers else 1
-        index = KmerIndex.build_minimizers(
+        index = build_minimizer_index(
             disjointigs, k, max(1, w),
             repeat_kmer_rate=cfg.repeat_kmer_rate)
         engine = OverlapEngine(

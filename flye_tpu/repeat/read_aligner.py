@@ -15,7 +15,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from flye_tpu.index.kmer_index import KmerIndex
+from flye_tpu.index import build_minimizer_index
 from flye_tpu.io.seqstore import SeqId, SequenceStore
 from flye_tpu.overlap.engine import OverlapEngine
 from flye_tpu.overlap.structs import Overlap
@@ -73,7 +73,7 @@ class ReadAligner:
         k = self.cfg.kmer_size
         w = (self.cfg.minimizer_window
              if self.cfg.use_minimizers else 1)
-        index = KmerIndex.build_minimizers(seg_store, k, max(1, w))
+        index = build_minimizer_index(seg_store, k, max(1, w))
         engine = OverlapEngine(
             seg_store, index,
             max_jump=self.cfg.maximum_jump,

@@ -27,65 +27,75 @@ def window_identity(contigs, genome, n_windows=400, win=2000, seed=0,
                     k=32):
     """Sample windows from the contigs, anchor each to the truth genome
     by an exact k-mer, and edit-distance the window against the anchored
-    truth slice. Returns (mean_identity, n_anchored, n_windows)."""
+    truth slice.
+
+    Anchoring tries several k-mer offsets within the window (an assembly
+    error in the first k-mer must not silently skip a window), considers
+    every genome occurrence of a repeated anchor k-mer (taking the best
+    identity), and skips occurrences whose truth slice would clip at the
+    genome ends.  Returns (mean_identity, n_anchored, n_sampled)."""
     from flye_tpu.io.fasta import COMPLEMENT
     from flye_tpu.ops.align import edit_distance_batch
 
-    # truth k-mer -> position dict (forward + revcomp)
+    # truth k-mer -> all occurrence positions (forward strand)
     def pack(seq):
-        v = seq[:len(seq) - k + 1].astype(np.uint64)
         out = np.zeros(len(seq) - k + 1, np.uint64)
         for i in range(k):
             out = (out << np.uint64(2)) | seq[i:i + len(out)].astype(
                 np.uint64)
         return out
 
-    truth_fwd = pack(genome)
-    order = {}
-    for pos, km in enumerate(truth_fwd):
-        order.setdefault(int(km), pos)
+    occ = {}
+    for pos, km in enumerate(pack(genome)):
+        occ.setdefault(int(km), []).append(pos)
 
     rng = np.random.default_rng(seed)
-    rows_a, rows_b, lens_a, lens_b = [], [], [], []
-    n_anch = 0
+    rows_a, rows_b, lens_a, lens_b, groups = [], [], [], [], []
+    n_sampled = 0
     pad = win // 5
     S = 1
     while S < win + 2 * pad + 1:
         S <<= 1
+    total = sum(len(s) for _, s in contigs)
+    if total == 0:
+        return 0.0, 0, 0
     for name, seq in contigs:
         if len(seq) < win + k:
             continue
-        per = max(1, int(n_windows * len(seq)
-                         / sum(len(s) for _, s in contigs)))
+        per = max(1, int(n_windows * len(seq) / total))
         for _ in range(per):
             st = int(rng.integers(0, len(seq) - win))
             w = seq[st:st + win]
             wr = COMPLEMENT[w[::-1]]
-            hit = None
-            for cand, rc in ((w, False), (wr, True)):
-                km = 0
-                for i in range(k):
-                    km = (km << 2) | int(cand[i])
-                if km in order:
-                    hit = (order[km], rc)
+            n_sampled += 1
+            gid = n_sampled - 1
+            anchored = False
+            for off in (0, win // 4, win // 2):
+                for cand in (w, wr):
+                    km = 0
+                    for i in range(k):
+                        km = (km << 2) | int(cand[off + i])
+                    for tpos in occ.get(km, ())[:4]:
+                        w0 = tpos - off  # window start on the genome
+                        if w0 - pad < 0 or w0 + win + pad > len(genome):
+                            continue
+                        tslice = genome[w0 - pad:w0 + win + pad]
+                        ra = np.zeros(S, np.uint8)
+                        rb = np.zeros(S, np.uint8)
+                        ra[:win] = cand
+                        rb[:len(tslice)] = tslice
+                        rows_a.append(ra)
+                        rows_b.append(rb)
+                        lens_a.append(win)
+                        lens_b.append(len(tslice))
+                        groups.append(gid)
+                        anchored = True
+                    if anchored:
+                        break
+                if anchored:
                     break
-            if hit is None:
-                continue
-            tpos, rc = hit
-            a = wr if rc else w
-            t0 = max(0, tpos - pad)
-            tslice = genome[t0:tpos + win + pad]
-            n_anch += 1
-            ra = np.zeros(S, np.uint8)
-            rb = np.zeros(S, np.uint8)
-            ra[:len(a)] = a
-            rb[:len(tslice)] = tslice
-            rows_a.append(ra)
-            rows_b.append(rb)
-            lens_a.append(len(a))
-            lens_b.append(len(tslice))
     if not rows_a:
-        return 0.0, 0, n_windows
+        return 0.0, 0, n_sampled
     d = np.asarray(edit_distance_batch(
         np.stack(rows_a), np.array(lens_a, np.int32),
         np.stack(rows_b), np.array(lens_b, np.int32)))
@@ -93,7 +103,14 @@ def window_identity(contigs, genome, n_windows=400, win=2000, seed=0,
     # perfect window scores ~1.0
     slack = np.array(lens_b) - np.array(lens_a)
     ident = 1.0 - np.maximum(d - slack, 0) / np.array(lens_a)
-    return float(ident.mean()), n_anch, n_windows
+    # repeated anchors: best identity among a window's occurrences
+    groups = np.asarray(groups)
+    best = {}
+    for g, v in zip(groups, ident):
+        if v > best.get(g, -1.0):
+            best[g] = v
+    vals = np.asarray(list(best.values()))
+    return float(vals.mean()), len(best), n_sampled
 
 
 def main():

@@ -451,6 +451,91 @@ static void polish_one(const unsigned char* cand_in, int clen_in, int Cb,
   *iters_out = it;
 }
 
+// ---------------------------------------------------------------------
+// banded_align(a_bytes, b_bytes, band) -> ops bytes
+//   Banded global edit-distance alignment with traceback.  ops[i] in
+//   {0: diagonal (consume a+b), 1: deletion (consume a), 2: insertion
+//   (consume b)}, ordered from the start of both sequences.  Used by
+//   host-plane consumers that need base-level pileups (Trestle's
+//   divergent-position calling — the reference gets pairwise strings
+//   from its SAM pipeline, flye/utils/sam_parser.py:260).
+// ---------------------------------------------------------------------
+static PyObject* banded_align(PyObject*, PyObject* args) {
+  Py_buffer a_buf, b_buf;
+  int band;
+  if (!PyArg_ParseTuple(args, "y*y*i", &a_buf, &b_buf, &band)) {
+    return nullptr;
+  }
+  const unsigned char* a = static_cast<const unsigned char*>(a_buf.buf);
+  const unsigned char* b = static_cast<const unsigned char*>(b_buf.buf);
+  const int n = (int)a_buf.len, m = (int)b_buf.len;
+  // band is centered on the (slope-corrected) diagonal
+  const int W = 2 * band + 1;
+  const int BIG = 1 << 29;
+  // D[i][w] = edit distance for a[0:i], b[0:j] with j = diag(i) + w-band
+  auto diag = [&](int i) { return n ? (int)((int64_t)i * m / n) : 0; };
+  std::vector<int32_t> D((size_t)(n + 1) * W, BIG);
+  auto at = [&](int i, int j) -> int32_t& {
+    return D[(size_t)i * W + (j - diag(i) + band)];
+  };
+  auto inband = [&](int i, int j) {
+    int w = j - diag(i) + band;
+    return j >= 0 && j <= m && w >= 0 && w < W;
+  };
+  at(0, 0) = 0;
+  for (int j = 1; inband(0, j); ++j) at(0, j) = j;
+  for (int i = 1; i <= n; ++i) {
+    int lo = diag(i) - band, hi = diag(i) + band;
+    if (lo < 0) lo = 0;
+    if (hi > m) hi = m;
+    for (int j = lo; j <= hi; ++j) {
+      int best = BIG;
+      if (inband(i - 1, j - 1) && j > 0) {
+        int v = at(i - 1, j - 1) + (a[i - 1] != b[j - 1]);
+        if (v < best) best = v;
+      }
+      if (inband(i - 1, j)) {
+        int v = at(i - 1, j) + 1;
+        if (v < best) best = v;
+      }
+      if (j > 0 && inband(i, j - 1)) {
+        int v = at(i, j - 1) + 1;
+        if (v < best) best = v;
+      }
+      at(i, j) = best;
+    }
+  }
+  // traceback from (n, m)
+  std::vector<unsigned char> ops;
+  ops.reserve(n + m);
+  int i = n, j = m;
+  while (i > 0 || j > 0) {
+    int cur = inband(i, j) ? at(i, j) : BIG;
+    if (i > 0 && j > 0 && inband(i - 1, j - 1) &&
+        at(i - 1, j - 1) + (a[i - 1] != b[j - 1]) == cur) {
+      ops.push_back(0);
+      --i;
+      --j;
+    } else if (i > 0 && inband(i - 1, j) && at(i - 1, j) + 1 == cur) {
+      ops.push_back(1);
+      --i;
+    } else if (j > 0 && inband(i, j - 1) && at(i, j - 1) + 1 == cur) {
+      ops.push_back(2);
+      --j;
+    } else {
+      // fell off the band: emit remaining as del+ins
+      if (i > 0) { ops.push_back(1); --i; }
+      else { ops.push_back(2); --j; }
+    }
+  }
+  std::reverse(ops.begin(), ops.end());
+  PyObject* out = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(ops.data()), ops.size());
+  PyBuffer_Release(&a_buf);
+  PyBuffer_Release(&b_buf);
+  return out;
+}
+
 static PyObject* polish_bubbles_host(PyObject*, PyObject* args) {
   Py_buffer cand_buf, clen_buf, br_buf, blen_buf, bmask_buf, subs_buf;
   Py_ssize_t Bn;
@@ -524,6 +609,8 @@ static PyMethodDef methods[] = {
      "Interval -> window coverage counting"},
     {"polish_bubbles_host", polish_bubbles_host, METH_VARARGS,
      "Threaded CPU-fallback bubble polisher (hill climbing)"},
+    {"banded_align", banded_align, METH_VARARGS,
+     "Banded global alignment with traceback (ops bytes)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT,

@@ -241,6 +241,86 @@ def stream_select_packed(chunks: jax.Array, starts: jax.Array,
     return jnp.where(selected, packed, jnp.uint64(0))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "W", "step", "sample",
+                                    "tandem_freq", "global_min"))
+def solid_select_device(packed, starts, idx90, select_rate,
+                        k: int, W: int, step: int, sample: int,
+                        tandem_freq: int, global_min: int):
+    """Device-resident solid-kmer selection: global k-mer counting,
+    per-read frequency thresholding, and tandem filtering — all on
+    device, returning COMPACTED selected postings.
+
+    This is the TPU-native KmerCounter (reference:
+    src/sequence/vertex_index.cpp:499-633 — a 4-bit atomic flat counter
+    over 4^k cells): counting is a device sort + run-length pass
+    (deterministic, no atomics), the per-read threshold is the solid-
+    kmer selection of buildIndexUnevenCoverage (vertex_index.cpp:25-125)
+    with p90 taken by nearest rank, and only the selected postings ever
+    cross the device->host link (the full per-position download was the
+    index build's bottleneck).
+
+    Args:
+      packed: [N] uint64 from stream_select_packed (w=1 layout:
+        canon<<2 | is_fwd<<1 | valid), flattened row-major [rows, W].
+      starts: [Rp] int64 read-start offsets (power-of-two padded with
+        n_total).
+      idx90:  [Rp] int64 gather indices into the (read, freq)-sorted
+        valid-position array picking each read's p90 frequency
+        (host-computed from read lengths; clamped for empty reads).
+      select_rate: f32 scalar (meta_read_top_kmer_rate).
+
+    Returns (pk [N] uint64 compacted packed postings, pg [N] uint32
+    compacted stream positions, n_sel int32).
+    """
+    N = packed.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int64)
+    col = idx % W
+    g = (idx // W) * step + col
+    sel0 = ((packed & jnp.uint64(1)) != 0) & (col < step)
+    kmer = (packed >> jnp.uint64(2)).astype(jnp.int64)
+    INV = jnp.int64(0x7FFFFFFFFFFFFFFF)
+
+    # all grouping runs as sorts + binary-search gathers — TPU scatters
+    # serialize per element, so run-length and compaction are expressed
+    # scatter-free (sort back by original index to "unsort")
+    def run_lengths(keys):
+        """Per-element run length of equal keys, in original order;
+        INV keys get 0."""
+        sk, sg = jax.lax.sort((keys, idx), num_keys=1)
+        left = jnp.searchsorted(sk, sk, side="left")
+        right = jnp.searchsorted(sk, sk, side="right")
+        rl = jnp.where(sk != INV, right - left, 0).astype(jnp.int32)
+        _, out = jax.lax.sort((sg, rl), num_keys=1)
+        return out
+
+    freq = run_lengths(jnp.where(sel0, kmer, INV))
+
+    # searchsorted returns int32; the shifts below need 64-bit room
+    rid = (jnp.searchsorted(starts, g, side="right") - 1).astype(
+        jnp.int64)
+    # per-read p90 by nearest rank over the (read, freq)-sorted array
+    key = jnp.where(sel0, (rid << 32) | freq.astype(jnp.int64), INV)
+    skey = jax.lax.sort(key)
+    p90 = (skey[idx90] & jnp.int64(0xFFFFFFFF)).astype(jnp.float32)
+    thr = jnp.maximum(jnp.int32(global_min),
+                      jnp.minimum(jnp.int32(4),
+                                  (select_rate * p90).astype(jnp.int32)))
+    # within-read tandem copies (reference: yieldFrequentKmers'
+    # tandem filter, vertex_index.cpp:440-480)
+    key2 = jnp.where(sel0, (rid << (2 * k)) | kmer, INV)
+    tcount = run_lengths(key2)
+
+    sel = sel0 & (freq >= thr[rid]) & (tcount <= tandem_freq)
+    n_sel = jnp.sum(sel.astype(jnp.int64)).astype(jnp.int32)
+    # compaction: sort selected entries to the front, original order
+    # preserved (key = idx for selected, BIG+idx otherwise)
+    ckey = jnp.where(sel, idx, idx + jnp.int64(1) + N)
+    _, pk, pg = jax.lax.sort(
+        (ckey, packed, g.astype(jnp.uint32)), num_keys=1)
+    return pk, pg, n_sel
+
+
 @functools.partial(jax.jit, static_argnames=("k", "step", "narrow"))
 def stream_probe_packed(chunks: jax.Array, starts: jax.Array,
                         row0: jax.Array, n_total: jax.Array,

@@ -46,13 +46,20 @@ from flye_tpu.repeat.processing import UnbranchingPath, get_unbranching_paths
 logger = logging.getLogger("flye_tpu")
 
 CONFIG = {
+    # reference: flye/trestle/trestle_config.py:9-27
     "max_iter": 10,
+    "buffer_count": 3,
     "min_edge_cov": 10,
+    "min_aln_rate": 0.5,
     "min_bridge_count": 5,
     "min_bridge_factor": 2,
     "min_mult": 2,
     "max_mult": 3,
     "flanking_len": 10_000,
+    "sub_thresh": 0.1,
+    "del_thresh": 0.2,
+    "ins_thresh": 0.3,
+    "num_pol_iters": 1,
 }
 
 
@@ -112,6 +119,9 @@ def resolve_unbridged_repeats(graph: RepeatGraph, reads: SequenceStore,
     resolved = 0
     for rep in repeats:
         pairing = _vote_sides(rep, chains_by_edge)
+        if pairing is None:
+            pairing = _position_partition(graph, reads, rep,
+                                          chains_by_edge)
         if pairing is None:
             pairing = _divergence_vote(graph, reads, rep, chains_by_edge)
         if pairing is None:
@@ -323,6 +333,191 @@ def _window_slice(segs, reads, lo, hi):
         if r1 > r0:
             out.append((r0, r1))
     return out
+
+
+def _collect_repeat_chains(reads, rep, offsets, chains_by_edge,
+                           in_ids, out_ids):
+    """Unique read chains touching the repeat, annotated with entry /
+    exit flank edges and their repeat-path segments."""
+    repeat_ids = set(offsets)
+    seen = set()
+    chains = []
+    for eid in list(repeat_ids) + in_ids + out_ids:
+        for chain in chains_by_edge.get(eid, []):
+            if id(chain) in seen:
+                continue
+            seen.add(id(chain))
+            edge_ids = [a.edge.edge_id for a in chain]
+            if not any(e in repeat_ids for e in edge_ids):
+                continue
+            entry = exit_e = None
+            for a, b in zip(edge_ids[:-1], edge_ids[1:]):
+                if a in in_ids and b in repeat_ids:
+                    entry = a
+                if a in repeat_ids and b in out_ids:
+                    exit_e = b
+            chains.append({"chain": chain, "entry": entry,
+                           "exit": exit_e, "side": None,
+                           "segs": _chain_repeat_segments(
+                               reads, rep, offsets, chain)})
+    return chains
+
+
+def _pair_from_votes(chains, in_ids, out_ids, rep) -> Optional[Tuple]:
+    """Entrance->exit pairing from phased chains' exit votes, with the
+    reference's support thresholds (min_bridge_count / factor)."""
+    votes: Dict[Tuple[int, int], int] = {}
+    for rec in chains:
+        if rec["side"] is None or rec["exit"] is None:
+            continue
+        key = (in_ids[rec["side"]], rec["exit"])
+        votes[key] = votes.get(key, 0) + 1
+    if not votes:
+        return None
+    p1 = ((in_ids[0], out_ids[0]), (in_ids[1], out_ids[1]))
+    p2 = ((in_ids[0], out_ids[1]), (in_ids[1], out_ids[0]))
+    s1 = votes.get(p1[0], 0) + votes.get(p1[1], 0)
+    s2 = votes.get(p2[0], 0) + votes.get(p2[1], 0)
+    best, alt, pairing = ((s1, s2, p1) if s1 >= s2 else (s2, s1, p2))
+    if best < CONFIG["min_bridge_count"]:
+        return None
+    if alt > 0 and best < CONFIG["min_bridge_factor"] * alt:
+        return None
+    edge_map = {e.edge_id: e for e in rep.in_edges + rep.out_edges}
+    return ((edge_map[pairing[0][0]], edge_map[pairing[0][1]]),
+            (edge_map[pairing[1][0]], edge_map[pairing[1][1]]))
+
+
+def _position_partition(graph: RepeatGraph, reads: SequenceStore,
+                        rep: SimpleRepeat, chains_by_edge
+                        ) -> Optional[Tuple]:
+    """Statistical phasing by divergent positions — the reference's
+    main Trestle loop (reference: flye/trestle/trestle.py:1075+ with
+    divergence.py:146 find_divergence, thresholds
+    trestle_config.py:19-21):
+
+    1. pileup all repeat-covering reads against the repeat template and
+       call tentative divergent positions (sub/del/ins thresholds);
+    2. seed read sides from their entry flank; iterate: polish each
+       side's FULL-repeat consensus with the polisher, take each side's
+       base signature at the divergent positions, re-assign every
+       unseeded read to the side whose signature it agrees with most;
+    3. phased reads vote entrance->exit pairings.
+
+    Refuses (returns None) when no divergent positions exist or the two
+    side consensuses are identical at every called position — the
+    must-not-bridge case."""
+    from flye_tpu.polishing.polisher import polish
+    from flye_tpu.trestle.divergence import (call_divergent_positions,
+                                             consensus_signature,
+                                             pileup_profile)
+
+    L = rep.path.length
+    offsets = _path_offsets(rep)
+    template = path_sequence(graph, rep.path)
+    if len(template) < L:
+        L = len(template)
+    if L < 300:
+        return None
+    in_ids = [e.edge_id for e in rep.in_edges]
+    out_ids = [e.edge_id for e in rep.out_edges]
+    chains = _collect_repeat_chains(reads, rep, offsets, chains_by_edge,
+                                    in_ids, out_ids)
+    sides = {in_ids[0]: 0, in_ids[1]: 1}
+    n_seed = 0
+    for rec in chains:
+        if rec["entry"] is not None:
+            rec["side"] = sides[rec["entry"]]
+            n_seed += 1
+    if n_seed < 4:
+        return None
+
+    # pileup over all repeat segments; merge a chain's segments into
+    # one per-position signature row
+    seg_list = []
+    seg_owner = []
+    for ci, rec in enumerate(chains):
+        for (lo, hi, codes, rev) in rec["segs"]:
+            if len(codes) < 100:
+                continue
+            seg_list.append((codes, lo))
+            seg_owner.append(ci)
+    if not seg_list:
+        return None
+    pile = pileup_profile(template[:L], seg_list)
+    positions = call_divergent_positions(
+        template[:L], pile, sub_thresh=CONFIG["sub_thresh"],
+        del_thresh=CONFIG["del_thresh"],
+        ins_thresh=CONFIG["ins_thresh"])["total"]
+    if len(positions) == 0:
+        logger.debug("Trestle %s: no divergent positions — refusing "
+                     "to bridge", rep.path.name)
+        return None
+    seg_sigs = pile.read_base[:, positions]
+    n_chains = len(chains)
+    sigs = np.full((n_chains, len(positions)), -1, np.int8)
+    for row, ci in enumerate(seg_owner):
+        m = seg_sigs[row] >= 0
+        sigs[ci, m] = seg_sigs[row, m]
+
+    seeded = [rec["side"] for rec in chains]
+    for _ in range(CONFIG["max_iter"]):
+        side_sig = {}
+        distinct = False
+        for s in (0, 1):
+            side_reads = SequenceStore()
+            for ci, rec in enumerate(chains):
+                if rec["side"] != s:
+                    continue
+                for si, (codes, lo) in enumerate(seg_list):
+                    if seg_owner[si] == ci:
+                        side_reads.add(f"r{ci}_{si}",
+                                       np.ascontiguousarray(codes))
+            if len(side_reads) < 2:
+                return None
+            cons = polish([(f"side{s}", template[:L].copy())],
+                          side_reads, "pacbio",
+                          num_iters=CONFIG["num_pol_iters"])[0][1]
+            if not len(cons):
+                cons = template[:L]
+            side_sig[s] = consensus_signature(template[:L], cons,
+                                              positions)
+        if np.any((side_sig[0] != side_sig[1])
+                  & (side_sig[0] >= 0) & (side_sig[1] >= 0)):
+            distinct = True
+        if not distinct:
+            logger.debug("Trestle %s: side consensuses identical at "
+                         "all divergent positions — refusing to bridge",
+                         rep.path.name)
+            return None
+        # only positions where the sides differ are informative
+        informative = np.flatnonzero(
+            (side_sig[0] != side_sig[1])
+            & (side_sig[0] >= 0) & (side_sig[1] >= 0))
+        changed = False
+        for ci, rec in enumerate(chains):
+            if seeded[ci] is not None:
+                continue
+            sig = sigs[ci, informative]
+            cov = sig >= 0
+            if cov.sum() < 2:
+                continue
+            a0 = int(((sig == side_sig[0][informative]) & cov).sum())
+            a1 = int(((sig == side_sig[1][informative]) & cov).sum())
+            new = 0 if a0 > a1 else 1 if a1 > a0 else None
+            if new is not None and rec["side"] != new:
+                rec["side"] = new
+                changed = True
+        if not changed:
+            break
+
+    pairing = _pair_from_votes(chains, in_ids, out_ids, rep)
+    if pairing is not None:
+        logger.debug("Trestle %s: position-phased %d chains over %d "
+                     "divergent positions", rep.path.name,
+                     sum(1 for r in chains if r["side"] is not None),
+                     len(positions))
+    return pairing
 
 
 def _iterative_partition(graph: RepeatGraph, reads: SequenceStore,

@@ -4,14 +4,18 @@ Headline: polishing throughput (bubbles/s) on the live accelerator —
 the dominant cost of reference Flye's consensus+polish phases
 (BASELINE.json: "overlap+polish phases").
 
-vs_baseline derivation: the reference assembles E. coli PB 50x in 2
-CPU-hours (BASELINE.md); its consensus+polish phases are roughly half
-of that (~3600 core-seconds) and process ~76k polishing windows
-(4.6 Mb / 120 bp windows x 2 passes) -> ~21 windows/s per CPU core.
-vs_baseline = our bubbles/s / 21.
+vs_baseline: MEASURED on this machine (round 2, PARITY.md): reference
+Flye 2.8.1 built from /root/reference and run on the 420 kb toy genome
+at 30x (2 threads) spends 31 s x 2 cores in its consensus+polishing
+stages for ~3,400 windows of ~125 bp -> 54.8 windows/s per CPU core.
+(The round-1 number was a 21 windows/s/core estimate derived from the
+published E. coli row; the measured rate replaces it.)
+vs_baseline = our bubbles/s / 54.8.
 
-The JSON line prints as soon as the headline measurement completes; a
-secondary chain-DP (overlap phase) measurement follows on stderr.
+The JSON line prints as soon as the headline measurement completes;
+secondary measurements follow on stderr: chain-DP cell rate and the
+overlap phase end-to-end (solid-kmer index build + all-vs-all overlap
+detection on freshly simulated reads — not synthetic match lists).
 """
 
 import json
@@ -20,7 +24,7 @@ import time
 
 import numpy as np
 
-_REFERENCE_WINDOWS_PER_CORE_S = 21.0  # derived above from BASELINE.md
+_REFERENCE_WINDOWS_PER_CORE_S = 54.8  # measured, see module docstring
 
 
 def make_polish_workload(B, C=120, Cb=160, R=16, S=240, errs=6, seed=0):
@@ -86,6 +90,46 @@ def bench_chain():
     return T * M * lookback / min(times) / 1e9  # Gcells/s
 
 
+def bench_overlap_phase(genome_kb=150, coverage=20):
+    """Overlap phase end-to-end on real simulated reads: solid-kmer
+    index build + all-vs-all overlap prefetch (the reference's
+    `flye-modules assemble` hot path).  Returns (reads/s, Mbases/s)."""
+    from flye_tpu.config import Config
+    from flye_tpu.io.seqstore import SequenceStore
+    from flye_tpu.overlap import OverlapEngine, OverlapStore
+    from flye_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(genome_kb * 1000, seed=4)
+    reads = simulate_reads(genome, coverage=coverage, mean_length=8000,
+                           error_rate=0.08, error_mix=(0.2, 0.5, 0.3),
+                           seed=5)
+    store = SequenceStore()
+    for n, c in reads:
+        store.add(n, c)
+    cfg = Config("raw", min_overlap=5000)
+    from flye_tpu.assemble.driver import build_read_index
+    t0 = time.perf_counter()
+    index = build_read_index(store, cfg)
+    t_index = time.perf_counter() - t0
+    engine = OverlapEngine(store, index, max_jump=cfg.maximum_jump,
+                           min_overlap=5000,
+                           max_overhang=cfg.maximum_overhang,
+                           only_max_ext=True)
+    ovlp = OverlapStore(engine, store)
+    t0 = time.perf_counter()
+    ovlp.prefetch(store.ids())
+    t_prefetch = time.perf_counter() - t0
+    n_ovl = sum(len(v[0]) for v in ovlp._cache.values())
+    total = t_index + t_prefetch
+    print(f"overlap_phase: {len(store)} reads "
+          f"({store.total_length/1e6:.1f} Mb), index {t_index:.1f}s + "
+          f"ava {t_prefetch:.1f}s = {total:.1f}s, {n_ovl} overlaps, "
+          f"{len(store)/total:.1f} reads/s, "
+          f"{store.total_length/1e6/total:.2f} Mbases/s",
+          file=sys.stderr)
+    return len(store) / total, store.total_length / 1e6 / total
+
+
 def main():
     rate = bench_polish()
     print(json.dumps({
@@ -94,10 +138,13 @@ def main():
         "unit": "bubbles/s",
         "vs_baseline": round(rate / _REFERENCE_WINDOWS_PER_CORE_S, 1),
     }), flush=True)
-    try:
-        print(f"chain_dp: {bench_chain():.2f} Gcells/s", file=sys.stderr)
-    except Exception as e:  # secondary metric must not fail the bench
-        print(f"chain_dp bench failed: {e}", file=sys.stderr)
+    for name, fn in (("chain_dp", lambda: print(
+            f"chain_dp: {bench_chain():.2f} Gcells/s", file=sys.stderr)),
+            ("overlap_phase", bench_overlap_phase)):
+        try:  # secondary metrics must not fail the bench
+            fn()
+        except Exception as e:
+            print(f"{name} bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,10 @@ _LOOKBACK = 1024
 class OverlapEngine:
     """Finds overlaps of query sequences against an indexed target set."""
 
+    # matches per posting-expansion chunk (memory bound; see
+    # _collect_matches_batch)
+    gather_cap = 64 << 20
+
     def __init__(
         self,
         target_store: SequenceStore,
@@ -94,15 +98,31 @@ class OverlapEngine:
         g_hit, row_hit, fwd_hit, g_rep, starts, _ = (
             self.index.probe_stream_flat(query_store, sids))
 
-        # posting-list gather across all hits of the batch
+        # posting-list gather across all hits of the batch; expanded in
+        # bounded chunks so a pathological batch (ultra-frequent k-mers
+        # at high coverage) can't materialize tens of GB at once
+        # (round-1 review: unbounded gather was the first thing to fall
+        # over at 100 Mb scale)
         cnt = self.index.counts[row_hit].astype(np.int64)
         pstart = self.index.offsets[row_hit]
         total = int(cnt.sum())
         if total:
-            reps = np.repeat(np.arange(len(row_hit)), cnt)
-            base = np.repeat(pstart, cnt)
-            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            flat = base + offs
+            if total > self.gather_cap:
+                cum = np.cumsum(cnt)
+                cuts = [0]
+                while cuts[-1] < len(cnt):
+                    nxt = int(np.searchsorted(
+                        cum, (cum[cuts[-1] - 1] if cuts[-1] else 0)
+                        + self.gather_cap))
+                    cuts.append(max(nxt, cuts[-1] + 1))
+                pieces = [self._expand_postings(
+                    row_hit[a:b], cnt[a:b], pstart[a:b], a)
+                    for a, b in zip(cuts[:-1], cuts[1:])]
+                reps = np.concatenate([p[0] for p in pieces])
+                flat = np.concatenate([p[1] for p in pieces])
+            else:
+                reps, flat = self._expand_postings(row_hit, cnt, pstart,
+                                                   0)
             t_seq = self.index.post_seq[flat].astype(np.int64)
             t_pos = self.index.post_pos[flat].astype(np.int64)
             t_flip = self.index.post_flip[flat]
@@ -147,6 +167,15 @@ class OverlapEngine:
         return out
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _expand_postings(rows, cnt, pstart, row_base):
+        """(hit-index repeats, flat posting indices) for one chunk."""
+        total = int(cnt.sum())
+        reps = np.repeat(np.arange(row_base, row_base + len(rows)), cnt)
+        base = np.repeat(pstart, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return reps, base + offs
 
     def get_overlaps(self, query_store: SequenceStore, sid: int,
                      force_local: bool = False,

@@ -158,3 +158,33 @@ def test_estimate_divergence_threshold(sim_setup):
     ost.set_divergence_threshold(0.1, relative=True)
     assert eng.max_divergence == pytest.approx(
         ost.mean_true_divergence + 0.1)
+
+
+def test_chunked_posting_gather_identical():
+    """Forcing the bounded posting-expansion path (tiny gather_cap)
+    must not change any overlap."""
+    import numpy as np
+
+    from flye_tpu.index import KmerIndex
+    from flye_tpu.io import SequenceStore
+    from flye_tpu.overlap import OverlapEngine
+    from flye_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(15000, seed=31)
+    reads = simulate_reads(genome, coverage=8, mean_length=4000,
+                           min_length=1500, error_rate=0.03, seed=32)
+    store = SequenceStore()
+    for n, c in reads:
+        store.add(n, c)
+    idx = KmerIndex.build_minimizers(store, 15, 5)
+
+    def run(cap):
+        eng = OverlapEngine(store, idx, max_jump=1500, min_overlap=1500,
+                            max_overhang=1500)
+        eng.gather_cap = cap
+        res = eng.get_overlaps_batch(store, store.ids()[:10])
+        return {s: sorted((o.ext_id, o.cur_begin, o.cur_end,
+                           o.ext_begin, o.ext_end) for o in v)
+                for s, v in res.items()}
+
+    assert run(200) == run(64 << 20)

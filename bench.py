@@ -6,11 +6,17 @@ the dominant cost of reference Flye's consensus+polish phases
 
 vs_baseline: MEASURED on this machine (round 2, PARITY.md): reference
 Flye 2.8.1 built from /root/reference and run on the 420 kb toy genome
-at 30x (2 threads) spends 31 s x 2 cores in its consensus+polishing
-stages for ~3,400 windows of ~125 bp -> 54.8 windows/s per CPU core.
-(The round-1 number was a 21 windows/s/core estimate derived from the
-published E. coli row; the measured rate replaces it.)
-vs_baseline = our bubbles/s / 54.8.
+at 30x (2 threads) spends 31 s x 2 cores across its consensus+polishing
+stages (minimap2 + bubble extraction + C++ polisher; the polisher
+proper handles 28,392 ~15 bp bubbles in 6 s x 2 cores), i.e.
+2 x 419,768 bases / 62 core-s = 13,540 polished bases per core-second
+at stage level.  Our benchmark bubble is 120 bases, so
+vs_baseline = bubbles/s x 120 / 13,540 — the chip-vs-one-core ratio in
+bases polished (kernel-only on our side, full stage on theirs; our
+mapping/window phases are excluded on both sides of PARITY.md's
+stage-level table).  The round-1 denominator (21 windows/s/core,
+derived from the published E. coli row) overstated the ratio and is
+replaced by this measurement.
 
 The JSON line prints as soon as the headline measurement completes;
 secondary measurements follow on stderr: chain-DP cell rate and the
@@ -24,7 +30,8 @@ import time
 
 import numpy as np
 
-_REFERENCE_WINDOWS_PER_CORE_S = 54.8  # measured, see module docstring
+_REFERENCE_BASES_PER_CORE_S = 13540.0  # measured, see module docstring
+_BENCH_BUBBLE_BASES = 120.0
 
 
 def make_polish_workload(B, C=120, Cb=160, R=16, S=240, errs=6, seed=0):
@@ -136,7 +143,8 @@ def main():
         "metric": "polish_throughput",
         "value": round(rate, 1),
         "unit": "bubbles/s",
-        "vs_baseline": round(rate / _REFERENCE_WINDOWS_PER_CORE_S, 1),
+        "vs_baseline": round(rate * _BENCH_BUBBLE_BASES
+                             / _REFERENCE_BASES_PER_CORE_S, 1),
     }), flush=True)
     for name, fn in (("chain_dp", lambda: print(
             f"chain_dp: {bench_chain():.2f} Gcells/s", file=sys.stderr)),

@@ -52,3 +52,26 @@ def test_setup_run_params_downsample():
     lens = [10000] * 50 + [2000] * 50
     params = setup_run_params(lens, "raw", genome_size=10000, asm_coverage=30)
     assert params["min_read_length"] > 0
+
+
+def test_nano_model_flag_selects_r7():
+    """--nano-model r7 routes the polisher to the legacy pore tables
+    (reference ships nano_r7 matrices alongside r94,
+    flye/config/py_cfg.py:52-67)."""
+    from flye_tpu.main import RunContext, build_parser
+    from flye_tpu.polishing.homopolisher import get_hopo_model
+    from flye_tpu.polishing.matrices import get_subs_matrix
+
+    args = build_parser().parse_args(
+        ["--nano-raw", "r.fa", "-o", "/tmp/x", "--nano-model", "r7"])
+    ctx = RunContext(args)
+    assert ctx.platform == "nano_r7"
+    m7 = get_subs_matrix("nano_r7")
+    m94 = get_subs_matrix("nano")
+    assert m7.shape == (5, 5) and (m7 != m94).any()
+    obs, gen = get_hopo_model("nano_r7")
+    assert obs.ndim == 3
+    # default stays r94
+    args = build_parser().parse_args(
+        ["--nano-raw", "r.fa", "-o", "/tmp/x"])
+    assert RunContext(args).platform == "nano"

@@ -198,7 +198,11 @@ class OverlapEngine:
         per_sid = self._collect_matches_batch(query_store, sids,
                                               symmetric)
 
-        # collect chain groups across all queries
+        # collect chain groups across all queries; the per-(read, ext)
+        # filters run vectorized over ALL groups of a read at once
+        # (reduceat segment reductions) — the per-group Python loop
+        # dominated the ava phase's host time at 50x coverage, where
+        # most groups fail the survival/span filters anyway
         min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
         groups = []       # (qi, eid, elen, gcur, gext, stride)
         query_meta = []   # (sid, cur_len, filtered_pos)
@@ -209,28 +213,36 @@ class OverlapEngine:
             order = np.lexsort((qpos, ext_id))
             qpos, ext_id, ext_pos = (qpos[order], ext_id[order],
                                      ext_pos[order])
-            bounds = np.flatnonzero(
-                np.concatenate([[True], ext_id[1:] != ext_id[:-1]]))
-            bounds = np.append(bounds, len(ext_id))
-            for s, e in zip(bounds[:-1], bounds[1:]):
+            new_grp = np.empty(len(ext_id), bool)
+            new_grp[0] = True
+            np.not_equal(ext_id[1:], ext_id[:-1], out=new_grp[1:])
+            starts_g = np.flatnonzero(new_grp)
+            ends_g = np.append(starts_g[1:], len(ext_id))
+            # unique qpos per group: a position counts when it differs
+            # from its predecessor (group starts always count)
+            chg = new_grp.copy()
+            chg[1:] |= qpos[1:] != qpos[:-1]
+            uniq = np.add.reduceat(chg, starts_g)
+            eids = ext_id[starts_g]
+            elens = self._target_lengths[eids >> 1]
+            min_cur = qpos[starts_g]
+            max_cur = qpos[ends_g - 1]
+            min_ext = np.minimum.reduceat(ext_pos, starts_g)
+            max_ext = np.maximum.reduceat(ext_pos, starts_g)
+            keep = ((uniq >= min_surv)
+                    & (max_cur - min_cur >= self.min_overlap)
+                    & (max_ext - min_ext >= self.min_overlap))
+            if self.check_overhang and not force_local:
+                keep &= ~(np.minimum(min_cur, min_ext)
+                          > self.max_overhang)
+                keep &= ~(np.minimum(cur_len - max_cur,
+                                     elens - max_ext)
+                          > self.max_overhang)
+            for gi in np.flatnonzero(keep):
+                s, e = starts_g[gi], ends_g[gi]
                 gcur, gext = qpos[s:e], ext_pos[s:e]
-                uniq_matches = 1 + int(
-                    np.count_nonzero(gcur[1:] != gcur[:-1]))
-                if uniq_matches < min_surv:
-                    continue
-                eid = int(ext_id[s])
-                elen = int(self._target_lengths[eid >> 1])
-                min_cur, max_cur = int(gcur[0]), int(gcur[-1])
-                min_ext, max_ext = int(gext.min()), int(gext.max())
-                if (max_cur - min_cur < self.min_overlap or
-                        max_ext - min_ext < self.min_overlap):
-                    continue
-                if self.check_overhang and not force_local:
-                    if min(min_cur, min_ext) > self.max_overhang:
-                        continue
-                    if min(cur_len - max_cur,
-                           elen - max_ext) > self.max_overhang:
-                        continue
+                eid = int(eids[gi])
+                elen = int(elens[gi])
                 if elen > cur_len:
                     o = np.argsort(gext, kind="stable")
                     gcur, gext = gcur[o], gext[o]

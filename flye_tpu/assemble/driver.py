@@ -44,10 +44,27 @@ def build_read_index(store: SequenceStore, cfg: Config) -> KmerIndex:
 
 
 def assemble_disjointigs(store: SequenceStore, cfg: Config,
-                         min_overlap: Optional[int] = None
+                         min_overlap: Optional[int] = None,
+                         genome_size: Optional[int] = None
                          ) -> List[Tuple[str, np.ndarray]]:
     """Full assemble stage: returns (name, codes) disjointigs."""
     min_overlap = min_overlap or cfg.min_overlap
+
+    # maxCurOverlaps economy: bound per-read overlap collection at
+    # factor * expected coverage so repetitive/trashy reads can't blow
+    # up the ava phase (reference: main_assemble.cpp:204,228 +
+    # overlap.cpp:218-219; off by default like the reference release,
+    # enable with --extra-params max_read_overlaps_factor=5)
+    max_cur_overlaps = 0
+    factor = int(cfg.max_read_overlaps_factor
+                 if "max_read_overlaps_factor" in cfg else 0)
+    if factor > 0 and genome_size and not bool(cfg.uneven_coverage):
+        total_bases = int(store.lengths.sum())
+        coverage = max(1, total_bases // genome_size)
+        max_cur_overlaps = factor * coverage
+        logger.debug("Expected read coverage: %d; capping per-read "
+                     "overlaps at %d", coverage, max_cur_overlaps)
+
     with stage_timer("index build"):
         index = build_read_index(store, cfg)
 
@@ -61,6 +78,7 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         max_divergence=1.0,
         nucl_alignment=bool(cfg.reads_base_alignment),
         use_hpc=bool(cfg.hpc_scoring_on),
+        max_cur_overlaps=max_cur_overlaps,
     )
     ovlp_store = OverlapStore(engine, store)
     with stage_timer("divergence estimation"):

@@ -71,6 +71,12 @@ READ_TYPE_OVERLAYS: Dict[str, Dict[str, float]] = {
         "repeat_kmer_rate": 100,
         "assemble_ovlp_divergence": 0.10,
         "assemble_divergence_relative": 1,
+        # maxCurOverlaps economy: cap per-read overlap collection at
+        # factor * expected coverage during ava (0 = off, matching the
+        # reference release where the cap is compiled out —
+        # reference: src/assemble/main_assemble.cpp:228,
+        # src/sequence/overlap.cpp:218-219)
+        "max_read_overlaps_factor": 0,
         "repeat_graph_ovlp_divergence": 0.10,
         "read_align_ovlp_divergence": 0.25,
         "hpc_scoring_on": 0,

@@ -157,7 +157,8 @@ class JobAssembly(Job):
                     filtered.add(reads.name(sid), reads.get(sid))
             reads = filtered
         disjointigs = assemble_disjointigs(reads, self.ctx.cfg,
-                                           self.ctx.min_overlap)
+                                           self.ctx.min_overlap,
+                                           self.ctx.genome_size)
         if not disjointigs:
             raise PipelineException(
                 "No disjointigs were assembled - please check if the "

@@ -14,7 +14,9 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -600,6 +602,477 @@ static PyObject* polish_bubbles_host(PyObject*, PyObject* args) {
   return Py_BuildValue("NNNN", cand_b, len_b, score_b, iters_b);
 }
 
+// ---------------------------------------------------------------------
+// chain_group_prep: per-query match grouping + survival filters +
+// chain-bucket prep for the overlap engine's hot loop
+// (behavioral port of the group segmentation in
+// reference: src/sequence/overlap.cpp:201-276, restructured as one
+// batched call; replaces the per-group Python loops that dominated the
+// ava phase's host time).
+//
+// Inputs (bytes buffers over the whole batch):
+//   qpos   int32[M]   query positions of matches
+//   extid  int64[M]   strand-encoded target ids
+//   extpos int32[M]   target positions
+//   qbounds int64[nq+1] per-query match ranges into the above
+//   curlens int32[nq]  query lengths
+//   tlens  int64[nt]   target lengths by (extid >> 1)
+//   min_surv (double), min_overlap, max_overhang (ints),
+//   check_overhang (0/1), max_bucket (stride-subsample cap),
+//   group_cap (>0: stop emitting groups for a query once this many
+//   survive the filters — the maxCurOverlaps economy,
+//   reference: overlap.cpp:218-219)
+// Returns (qi, eid, elen, stride, goff, gcur, gext) bytes:
+//   qi int32[G], eid int64[G], elen int32[G], stride int32[G],
+//   goff int64[G+1] offsets into gcur/gext int32[total]
+// ---------------------------------------------------------------------
+static PyObject* chain_group_prep(PyObject*, PyObject* args) {
+  Py_buffer qpos_b, extid_b, extpos_b, qb_b, clen_b, tlen_b;
+  double min_surv;
+  int min_overlap, max_overhang, check_overhang, max_bucket, group_cap;
+  Py_ssize_t nq;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*ndiiiii", &qpos_b, &extid_b,
+                        &extpos_b, &qb_b, &clen_b, &tlen_b, &nq, &min_surv,
+                        &min_overlap, &max_overhang, &check_overhang,
+                        &max_bucket, &group_cap)) {
+    return nullptr;
+  }
+  const int32_t* qpos = static_cast<const int32_t*>(qpos_b.buf);
+  const int64_t* extid = static_cast<const int64_t*>(extid_b.buf);
+  const int32_t* extpos = static_cast<const int32_t*>(extpos_b.buf);
+  const int64_t* qbounds = static_cast<const int64_t*>(qb_b.buf);
+  const int32_t* curlens = static_cast<const int32_t*>(clen_b.buf);
+  const int64_t* tlens = static_cast<const int64_t*>(tlen_b.buf);
+
+  struct QOut {
+    std::vector<int64_t> eid;
+    std::vector<int32_t> elen, stride;
+    std::vector<int64_t> glen;
+    std::vector<int32_t> gcur, gext;
+  };
+  std::vector<QOut> per_q(nq);
+
+  std::atomic<Py_ssize_t> next(0);
+  auto worker = [&]() {
+    std::vector<int64_t> order;
+    for (;;) {
+      Py_ssize_t qi = next.fetch_add(1);
+      if (qi >= nq) break;
+      const int64_t s0 = qbounds[qi], e0 = qbounds[qi + 1];
+      const int64_t m = e0 - s0;
+      if (m == 0) continue;
+      QOut& out = per_q[qi];
+      const int32_t cur_len = curlens[qi];
+      order.resize(m);
+      for (int64_t i = 0; i < m; ++i) order[i] = s0 + i;
+      // lexsort: primary extid, secondary qpos, ties by index (stable)
+      std::sort(order.begin(), order.end(),
+                [&](int64_t a, int64_t b) {
+                  if (extid[a] != extid[b]) return extid[a] < extid[b];
+                  if (qpos[a] != qpos[b]) return qpos[a] < qpos[b];
+                  return a < b;
+                });
+      int64_t gs = 0;
+      int emitted = 0;
+      while (gs < m) {
+        if (group_cap > 0 && emitted >= group_cap) break;
+        int64_t ge = gs;
+        const int64_t eid = extid[order[gs]];
+        int64_t uniq = 0;
+        int32_t prev_pos = -1;
+        int32_t min_ext = INT32_MAX, max_ext = INT32_MIN;
+        while (ge < m && extid[order[ge]] == eid) {
+          const int32_t qp = qpos[order[ge]];
+          if (ge == gs || qp != prev_pos) ++uniq;
+          prev_pos = qp;
+          const int32_t ep = extpos[order[ge]];
+          if (ep < min_ext) min_ext = ep;
+          if (ep > max_ext) max_ext = ep;
+          ++ge;
+        }
+        const int32_t min_cur = qpos[order[gs]];
+        const int32_t max_cur = qpos[order[ge - 1]];
+        const int64_t elen = tlens[eid >> 1];
+        bool keep = (double)uniq >= min_surv &&
+                    max_cur - min_cur >= min_overlap &&
+                    max_ext - min_ext >= min_overlap;
+        if (keep && check_overhang) {
+          if (std::min(min_cur, min_ext) > max_overhang) keep = false;
+          if (std::min((int64_t)cur_len - max_cur, elen - max_ext) >
+              max_overhang) {
+            keep = false;
+          }
+        }
+        if (keep) {
+          ++emitted;
+          const int64_t glen = ge - gs;
+          out.eid.push_back(eid);
+          out.elen.push_back((int32_t)elen);
+          // copy (already sorted by qpos)
+          std::vector<int32_t> gc(glen), gx(glen);
+          for (int64_t i = 0; i < glen; ++i) {
+            gc[i] = qpos[order[gs + i]];
+            gx[i] = extpos[order[gs + i]];
+          }
+          if (elen > cur_len) {
+            // stable re-sort by ext position (matches the engine's
+            // np.argsort(gext, kind='stable') reorder)
+            std::vector<int32_t> idx(glen);
+            for (int64_t i = 0; i < glen; ++i) idx[i] = (int32_t)i;
+            std::stable_sort(idx.begin(), idx.end(),
+                             [&](int32_t a, int32_t b) {
+                               return gx[a] < gx[b];
+                             });
+            std::vector<int32_t> gc2(glen), gx2(glen);
+            for (int64_t i = 0; i < glen; ++i) {
+              gc2[i] = gc[idx[i]];
+              gx2[i] = gx[idx[i]];
+            }
+            gc.swap(gc2);
+            gx.swap(gx2);
+          }
+          int32_t stride = 1;
+          int64_t kept = glen;
+          if (glen > max_bucket) {
+            stride = (int32_t)((glen + max_bucket - 1) / max_bucket);
+            kept = (glen + stride - 1) / stride;
+          }
+          out.stride.push_back(stride);
+          out.glen.push_back(kept);
+          for (int64_t i = 0; i < glen; i += stride) {
+            out.gcur.push_back(gc[i]);
+            out.gext.push_back(gx[i]);
+          }
+        }
+        gs = ge;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt_threads = hw ? (int)hw : 2;
+  if (nt_threads > nq) nt_threads = (int)nq;
+  if (nt_threads < 1) nt_threads = 1;
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  // concatenate in query order (deterministic)
+  int64_t G = 0, total = 0;
+  for (auto& q : per_q) {
+    G += (int64_t)q.eid.size();
+    total += (int64_t)q.gcur.size();
+  }
+  std::vector<int32_t> qi_out;
+  qi_out.reserve(G);
+  std::vector<int64_t> eid_out;
+  eid_out.reserve(G);
+  std::vector<int32_t> elen_out, stride_out;
+  elen_out.reserve(G);
+  stride_out.reserve(G);
+  std::vector<int64_t> goff(1, 0);
+  goff.reserve(G + 1);
+  std::vector<int32_t> gcur_out, gext_out;
+  gcur_out.reserve(total);
+  gext_out.reserve(total);
+  for (Py_ssize_t qi = 0; qi < nq; ++qi) {
+    QOut& q = per_q[qi];
+    for (size_t j = 0; j < q.eid.size(); ++j) {
+      qi_out.push_back((int32_t)qi);
+      eid_out.push_back(q.eid[j]);
+      elen_out.push_back(q.elen[j]);
+      stride_out.push_back(q.stride[j]);
+      goff.push_back(goff.back() + q.glen[j]);
+    }
+    gcur_out.insert(gcur_out.end(), q.gcur.begin(), q.gcur.end());
+    gext_out.insert(gext_out.end(), q.gext.begin(), q.gext.end());
+  }
+
+  auto as_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize(static_cast<const char*>(p),
+                                     (Py_ssize_t)nbytes);
+  };
+  PyObject* r = Py_BuildValue(
+      "NNNNNNN",
+      as_bytes(qi_out.data(), qi_out.size() * 4),
+      as_bytes(eid_out.data(), eid_out.size() * 8),
+      as_bytes(elen_out.data(), elen_out.size() * 4),
+      as_bytes(stride_out.data(), stride_out.size() * 4),
+      as_bytes(goff.data(), goff.size() * 8),
+      as_bytes(gcur_out.data(), gcur_out.size() * 4),
+      as_bytes(gext_out.data(), gext_out.size() * 4));
+  for (Py_buffer* pb :
+       {&qpos_b, &extid_b, &extpos_b, &qb_b, &clen_b, &tlen_b}) {
+    PyBuffer_Release(pb);
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------
+// finish_overlaps: backtrack + overlap tests + anchor thinning +
+// k-mer divergence + primary selection for one chain-DP bucket batch
+// (behavioral port of reference: src/sequence/overlap.cpp:330-427 and
+// overlapTest overlap.cpp:29-69, batched over bucket rows).
+//
+// score/parent: int32[nrows * W]; per-row group data via gstart/glen
+// into the batch-global gcur/gext; per-row eid/elen/stride/qi/cid/clen;
+// per-QUERY sorted filtered positions (filt + foff, indexed by qi).
+// flags bit0=check_overhang, bit1=force_local, bit2=symmetric,
+// bit3=only_max_ext, bit4=thin_anchors.
+// Returns (row_of(int32[V]), coords(int32[V*4]), score(int64[V]),
+//          div(double[V]), aoff(int64[V+1]), anchors(int32 pairs))
+// with overlaps of each row in primary-selection order.
+// ---------------------------------------------------------------------
+static PyObject* finish_overlaps(PyObject*, PyObject* args) {
+  Py_buffer sc_b, pa_b, gcur_b, gext_b, gstart_b, glen_b, eid_b, elen_b,
+      stride_b, qi_b, cid_b, clen_b, filt_b, foff_b;
+  Py_ssize_t nrows;
+  int W, k, min_overlap, max_overhang, flags;
+  double sample_rate;
+  if (!PyArg_ParseTuple(args, "y*y*niy*y*y*y*y*y*y*y*y*y*y*y*iiiid",
+                        &sc_b, &pa_b, &nrows, &W, &gcur_b, &gext_b,
+                        &gstart_b, &glen_b, &eid_b, &elen_b, &stride_b,
+                        &qi_b, &cid_b, &clen_b, &filt_b, &foff_b, &k,
+                        &min_overlap, &max_overhang, &flags,
+                        &sample_rate)) {
+    return nullptr;
+  }
+  const int32_t* score_m = static_cast<const int32_t*>(sc_b.buf);
+  const int32_t* parent_m = static_cast<const int32_t*>(pa_b.buf);
+  const int32_t* gcur = static_cast<const int32_t*>(gcur_b.buf);
+  const int32_t* gext = static_cast<const int32_t*>(gext_b.buf);
+  const int64_t* gstarts = static_cast<const int64_t*>(gstart_b.buf);
+  const int64_t* glens = static_cast<const int64_t*>(glen_b.buf);
+  const int64_t* eids = static_cast<const int64_t*>(eid_b.buf);
+  const int32_t* elens = static_cast<const int32_t*>(elen_b.buf);
+  const int32_t* strides = static_cast<const int32_t*>(stride_b.buf);
+  const int32_t* qis = static_cast<const int32_t*>(qi_b.buf);
+  const int64_t* cids = static_cast<const int64_t*>(cid_b.buf);
+  const int32_t* clens = static_cast<const int32_t*>(clen_b.buf);
+  const int64_t* filt = static_cast<const int64_t*>(filt_b.buf);
+  const int64_t* foff = static_cast<const int64_t*>(foff_b.buf);
+  const bool check_overhang = flags & 1;
+  const bool force_local = flags & 2;
+  const bool symmetric = flags & 4;
+  const bool only_max_ext = flags & 8;
+  const bool thin_anchors = flags & 16;
+
+  struct Ov {
+    int32_t cb, ce, eb, ee;
+    int64_t score;
+    double div;
+    std::vector<int32_t> anchors;  // interleaved (c, e)
+  };
+  struct RowOut {
+    std::vector<Ov> primary;
+  };
+  std::vector<RowOut> rows(nrows);
+
+  std::atomic<Py_ssize_t> next(0);
+  auto worker = [&]() {
+    std::vector<int32_t> parent, order, path;
+    std::vector<Ov> cand;
+    for (;;) {
+      Py_ssize_t r = next.fetch_add(1);
+      if (r >= nrows) break;
+      const int64_t gs = gstarts[r];
+      const int64_t n = std::min<int64_t>(glens[r], W);
+      if (n == 0) continue;
+      const int32_t* score = score_m + (size_t)r * W;
+      parent.assign(parent_m + (size_t)r * W, parent_m + (size_t)r * W + n);
+      const int32_t* gc = gcur + gs;
+      const int32_t* gx = gext + gs;
+      const int64_t cur_id = cids[r];
+      const int64_t ext_id = eids[r];
+      const int32_t cur_len = clens[r];
+      const int32_t ext_len = elens[r];
+      const int32_t stride = strides[r];
+      const int32_t qi = qis[r];
+      const int64_t* fp = filt + foff[qi];
+      const int64_t nf_all = foff[qi + 1] - foff[qi];
+
+      order.resize(n);
+      for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int32_t a, int32_t b) {
+                         return score[a] > score[b];
+                       });
+      cand.clear();
+      for (int64_t oi = 0; oi < n; ++oi) {
+        const int32_t start = order[oi];
+        if (parent[start] == -1) continue;
+        path.clear();
+        int32_t pos = start;
+        while (pos != -1) {
+          path.push_back(pos);
+          int32_t nxt = parent[pos];
+          parent[pos] = -1;
+          pos = nxt;
+        }
+        const int32_t first = path.back();
+        const int32_t last = path.front();
+        const int64_t cscore =
+            (int64_t)score[last] - (int64_t)score[first] + k - 1;
+        std::reverse(path.begin(), path.end());
+
+        const int32_t cb = gc[first], ce = gc[last] + k - 1;
+        const int32_t eb = gx[first], ee = gx[last] + k - 1;
+        const int32_t cur_range = ce - cb, ext_range = ee - eb;
+        // ---- overlap sanity tests (reference: overlap.cpp:29-69) ----
+        if (cur_range < min_overlap || ext_range < min_overlap) continue;
+        if (std::abs(cur_range - ext_range) >
+            0.5 * std::min(cur_range, ext_range)) {
+          continue;
+        }
+        if (symmetric && cur_id == ext_id) {
+          const int32_t inter =
+              std::min(ce, ee) - std::max(cb, eb);
+          if (inter > cur_range / 2) continue;
+        }
+        if (symmetric && cur_id == (ext_id ^ 1)) {
+          const int32_t inter = std::min(ce, ext_len - eb) -
+                                std::max(cb, ext_len - ee);
+          if (inter > cur_range / 2) continue;
+        }
+        if (!force_local && check_overhang) {
+          const int32_t lr =
+              std::max(std::min(cb, eb),
+                       std::min(cur_len - ce, ext_len - ee));
+          if (lr > max_overhang) continue;
+        }
+        // ---- anchors ----
+        Ov ov;
+        ov.cb = cb;
+        ov.ce = ce;
+        ov.eb = eb;
+        ov.ee = ee;
+        ov.score = cscore;
+        if (thin_anchors) {
+          int32_t lc = gc[path[0]], le = gx[path[0]];
+          ov.anchors.push_back(lc);
+          ov.anchors.push_back(le);
+          for (size_t t = 1; t < path.size(); ++t) {
+            const int32_t c = gc[path[t]], e = gx[path[t]];
+            if (c - lc > k && e > le) {
+              ov.anchors.push_back(c);
+              ov.anchors.push_back(e);
+              lc = c;
+              le = e;
+            }
+          }
+        } else {
+          int32_t lc = -1, le = -1;
+          for (size_t t = 0; t < path.size(); ++t) {
+            const int32_t c = gc[path[t]], e = gx[path[t]];
+            if (c > lc && e > le) {
+              ov.anchors.push_back(c);
+              ov.anchors.push_back(e);
+              lc = c;
+              le = e;
+            }
+          }
+        }
+        // ---- k-mer divergence (reference: overlap.cpp:410-423) ----
+        const int64_t lo =
+            std::lower_bound(fp, fp + nf_all, (int64_t)cb) - fp;
+        const int64_t hi =
+            std::lower_bound(fp, fp + nf_all, (int64_t)ce) - fp;
+        const int64_t n_filtered = hi - lo;
+        const int64_t norm_len =
+            std::max(cur_range, ext_range) - n_filtered;
+        double match_rate = std::min(
+            1.0, (double)path.size() * stride * sample_rate /
+                     std::max<int64_t>(1, norm_len));
+        match_rate = std::max(match_rate, 1e-9);
+        ov.div = std::log(1.0 / match_rate) / k;
+        cand.push_back(std::move(ov));
+      }
+      if (cand.empty()) continue;
+      // stable sort by descending score (matches list.sort in Python)
+      std::stable_sort(cand.begin(), cand.end(),
+                       [](const Ov& a, const Ov& b) {
+                         return a.score > b.score;
+                       });
+      RowOut& out = rows[r];
+      if (only_max_ext) {
+        out.primary.push_back(std::move(cand.front()));
+      } else {
+        for (Ov& ov : cand) {
+          bool drop = false;
+          for (const Ov& p : out.primary) {
+            if (p.cb <= ov.cb && ov.ce <= p.ce && p.eb <= ov.eb &&
+                ov.ee <= p.ee && p.score > ov.score) {
+              drop = true;
+              break;
+            }
+          }
+          if (!drop) out.primary.push_back(std::move(ov));
+        }
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt_threads = hw ? (int)hw : 2;
+  if (nt_threads > nrows) nt_threads = (int)nrows;
+  if (nt_threads < 1) nt_threads = 1;
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  int64_t V = 0, atotal = 0;
+  for (auto& rr : rows) {
+    V += (int64_t)rr.primary.size();
+    for (auto& ov : rr.primary) atotal += (int64_t)ov.anchors.size();
+  }
+  std::vector<int32_t> row_of;
+  row_of.reserve(V);
+  std::vector<int32_t> coords;
+  coords.reserve(V * 4);
+  std::vector<int64_t> vscore;
+  vscore.reserve(V);
+  std::vector<double> vdiv;
+  vdiv.reserve(V);
+  std::vector<int64_t> aoff(1, 0);
+  aoff.reserve(V + 1);
+  std::vector<int32_t> anchors;
+  anchors.reserve(atotal);
+  for (Py_ssize_t r = 0; r < nrows; ++r) {
+    for (Ov& ov : rows[r].primary) {
+      row_of.push_back((int32_t)r);
+      coords.push_back(ov.cb);
+      coords.push_back(ov.ce);
+      coords.push_back(ov.eb);
+      coords.push_back(ov.ee);
+      vscore.push_back(ov.score);
+      vdiv.push_back(ov.div);
+      aoff.push_back(aoff.back() + (int64_t)ov.anchors.size() / 2);
+      anchors.insert(anchors.end(), ov.anchors.begin(), ov.anchors.end());
+    }
+  }
+  auto as_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize(static_cast<const char*>(p),
+                                     (Py_ssize_t)nbytes);
+  };
+  PyObject* r = Py_BuildValue(
+      "NNNNNN", as_bytes(row_of.data(), row_of.size() * 4),
+      as_bytes(coords.data(), coords.size() * 4),
+      as_bytes(vscore.data(), vscore.size() * 8),
+      as_bytes(vdiv.data(), vdiv.size() * 8),
+      as_bytes(aoff.data(), aoff.size() * 8),
+      as_bytes(anchors.data(), anchors.size() * 4));
+  for (Py_buffer* pb : {&sc_b, &pa_b, &gcur_b, &gext_b, &gstart_b,
+                        &glen_b, &eid_b, &elen_b, &stride_b, &qi_b,
+                        &cid_b, &clen_b, &filt_b, &foff_b}) {
+    PyBuffer_Release(pb);
+  }
+  return r;
+}
+
 static PyMethodDef methods[] = {
     {"backtrack_chains", backtrack_chains, METH_VARARGS,
      "Score-ordered chain backtracking with visited marking"},
@@ -611,6 +1084,10 @@ static PyMethodDef methods[] = {
      "Threaded CPU-fallback bubble polisher (hill climbing)"},
     {"banded_align", banded_align, METH_VARARGS,
      "Banded global alignment with traceback (ops bytes)"},
+    {"chain_group_prep", chain_group_prep, METH_VARARGS,
+     "Batched per-query match grouping + survival filters"},
+    {"finish_overlaps", finish_overlaps, METH_VARARGS,
+     "Backtrack + overlap tests + anchors + divergence per bucket"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT,

@@ -32,6 +32,37 @@ from flye_tpu.utils.ds import DisjointSet
 
 logger = logging.getLogger("flye_tpu")
 
+# per-phase wall-clock accumulators for the ava hot loop (the reference
+# keeps the same thread-local timer discipline,
+# reference: overlap.cpp:128-158); read with phase_times(), reset with
+# reset_phase_times() — bench.py prints them to attribute the wall
+from collections import defaultdict as _dd
+from time import perf_counter as _pc
+
+_PHASE: Dict[str, float] = _dd(float)
+
+
+def phase_times() -> Dict[str, float]:
+    return dict(_PHASE)
+
+
+def reset_phase_times() -> None:
+    _PHASE.clear()
+
+
+class _phase:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = _pc()
+
+    def __exit__(self, *a):
+        _PHASE[self.name] += _pc() - self.t0
+
+
 # fraction of min_overlap that must be covered by unique k-mer matches
 # for a target to be considered (reference: overlap.cpp:110-111)
 _MIN_KMER_SURVIVAL_RATE = 0.01
@@ -95,8 +126,9 @@ class OverlapEngine:
         whole batch at once. Yields per-sid match tuples."""
         sids = list(sids)
         lengths = [query_store.length(s) for s in sids]
-        g_hit, row_hit, fwd_hit, g_rep, starts, _ = (
-            self.index.probe_stream_flat(query_store, sids))
+        with _phase("probe"):
+            g_hit, row_hit, fwd_hit, g_rep, starts, _ = (
+                self.index.probe_stream_flat(query_store, sids))
 
         # posting-list gather across all hits of the batch; expanded in
         # bounded chunks so a pathological batch (ultra-frequent k-mers
@@ -106,6 +138,8 @@ class OverlapEngine:
         cnt = self.index.counts[row_hit].astype(np.int64)
         pstart = self.index.offsets[row_hit]
         total = int(cnt.sum())
+        _g = _phase("gather")
+        _g.__enter__()
         if total:
             if total > self.gather_cap:
                 cum = np.cumsum(cnt)
@@ -151,6 +185,7 @@ class OverlapEngine:
             bounds = np.searchsorted(qi_m, np.arange(len(sids) + 1))
         rep_qi = np.searchsorted(starts, g_rep, side="right") - 1
         rep_bounds = np.searchsorted(rep_qi, np.arange(len(sids) + 1))
+        _g.__exit__()
 
         out = []
         for qi, sid in enumerate(sids):
@@ -198,6 +233,13 @@ class OverlapEngine:
         per_sid = self._collect_matches_batch(query_store, sids,
                                               symmetric)
 
+        from flye_tpu import native
+        mod = native.get()
+        if mod is not None:
+            return self._batch_fast(mod, query_store, per_sid,
+                                    force_local, max_overlaps, symmetric)
+
+        # ---- pure-Python fallback (native module unavailable) ----
         # collect chain groups across all queries; the per-(read, ext)
         # filters run vectorized over ALL groups of a read at once
         # (reduceat segment reductions) — the per-group Python loop
@@ -238,7 +280,13 @@ class OverlapEngine:
                 keep &= ~(np.minimum(cur_len - max_cur,
                                      elens - max_ext)
                           > self.max_overhang)
+            emitted = 0
             for gi in np.flatnonzero(keep):
+                # maxCurOverlaps economy: stop collecting groups once
+                # enough survive (reference: overlap.cpp:218-219)
+                if max_overlaps and emitted >= max_overlaps:
+                    break
+                emitted += 1
                 s, e = starts_g[gi], ends_g[gi]
                 gcur, gext = qpos[s:e], ext_pos[s:e]
                 eid = int(eids[gi])
@@ -313,6 +361,201 @@ class OverlapEngine:
         return results
 
     # ------------------------------------------------------------------
+
+    def _batch_fast(self, mod, query_store, per_sid, force_local,
+                    max_overlaps, symmetric):
+        """Native-assisted batch path: group segmentation / survival
+        filters / per-group prep run in C++ threads
+        (native chain_group_prep), the chain DP on device, and the
+        backtrack + overlap tests + anchor thinning + divergence in C++
+        (native finish_overlaps).  Byte-identical to the Python path
+        (tests/test_overlap_native.py); replaces the per-group Python
+        loops that dominated the ava phase's host wall
+        (reference analog: src/sequence/overlap.cpp:99-427, whose
+        inner loops are C++ for the same reason)."""
+        nq = len(per_sid)
+        query_meta = [(sid, cur_len, filtered_pos)
+                      for sid, _, _, _, filtered_pos, cur_len in per_sid]
+        results: Dict[int, List[Overlap]] = {sid: [] for sid, _, _ in
+                                             query_meta}
+        if nq == 0:
+            return results
+        qpos_all = np.concatenate([t[1] for t in per_sid])
+        ext_all = np.concatenate([t[2] for t in per_sid])
+        extpos_all = np.concatenate([t[3] for t in per_sid])
+        qb = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum([len(t[1]) for t in per_sid], out=qb[1:])
+        curlens = np.asarray([t[5] for t in per_sid], dtype=np.int32)
+        tlens = np.ascontiguousarray(self._target_lengths,
+                                     dtype=np.int64)
+        min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
+        with _phase("prep"):
+            (qi_b, eid_b, elen_b, stride_b, goff_b, gcur_b, gext_b) = \
+                mod.chain_group_prep(
+                    np.ascontiguousarray(qpos_all, dtype=np.int32),
+                    np.ascontiguousarray(ext_all, dtype=np.int64),
+                    np.ascontiguousarray(extpos_all, dtype=np.int32),
+                    qb, curlens, tlens, nq, float(min_surv),
+                    int(self.min_overlap), int(self.max_overhang),
+                    int(self.check_overhang and not force_local),
+                    int(_CHAIN_BUCKETS[-1]), int(max_overlaps))
+        g_qi = np.frombuffer(qi_b, dtype=np.int32)
+        g_eid = np.frombuffer(eid_b, dtype=np.int64)
+        g_elen = np.frombuffer(elen_b, dtype=np.int32)
+        g_stride = np.frombuffer(stride_b, dtype=np.int32)
+        goff = np.frombuffer(goff_b, dtype=np.int64)
+        gcur = np.frombuffer(gcur_b, dtype=np.int32)
+        gext = np.frombuffer(gext_b, dtype=np.int32)
+        G = len(g_qi)
+        if G == 0:
+            return results
+        glens = np.diff(goff)
+
+        # per-query sorted filtered positions, concatenated
+        foff = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum([len(t[4]) for t in per_sid], out=foff[1:])
+        filt = (np.concatenate([t[4] for t in per_sid])
+                if foff[-1] else np.zeros(0, dtype=np.int64))
+        filt = np.ascontiguousarray(filt, dtype=np.int64)
+        g_cid = np.asarray([query_meta[qi][0] for qi in g_qi],
+                           dtype=np.int64)
+        g_clen = curlens[g_qi].astype(np.int32)
+
+        flags = (1 * (self.check_overhang and not force_local)
+                 | 2 * bool(force_local)
+                 | 4 * bool(symmetric)
+                 | 8 * bool(self.only_max_ext)
+                 | 16 * bool(self.thin_anchors))
+
+        # overlaps per group, filled bucket by bucket
+        per_group: List[Optional[tuple]] = [None] * G
+        for gids, W, score_mat, parent_mat in self._run_chain_dp_buckets(
+                goff, glens, gcur, gext):
+            gids_arr = np.asarray(gids, dtype=np.int64)
+            with _phase("finish"):
+                (row_of_b, coords_b, score_b, div_b, aoff_b, anchors_b) = \
+                    mod.finish_overlaps(
+                        np.ascontiguousarray(score_mat),
+                        np.ascontiguousarray(parent_mat),
+                        len(gids), int(W), gcur, gext,
+                        np.ascontiguousarray(goff[gids_arr]),
+                        np.ascontiguousarray(glens[gids_arr]),
+                        np.ascontiguousarray(g_eid[gids_arr]),
+                        np.ascontiguousarray(g_elen[gids_arr]),
+                        np.ascontiguousarray(g_stride[gids_arr]),
+                        np.ascontiguousarray(g_qi[gids_arr]),
+                        np.ascontiguousarray(g_cid[gids_arr]),
+                        np.ascontiguousarray(g_clen[gids_arr]),
+                        filt, foff, int(self.k), int(self.min_overlap),
+                        int(self.max_overhang), int(flags),
+                        float(self.index.sample_rate))
+            row_of = np.frombuffer(row_of_b, dtype=np.int32)
+            coords = np.frombuffer(coords_b, dtype=np.int32) \
+                .reshape(-1, 4)
+            vscore = np.frombuffer(score_b, dtype=np.int64)
+            vdiv = np.frombuffer(div_b, dtype=np.float64)
+            aoff = np.frombuffer(aoff_b, dtype=np.int64)
+            anchors = np.frombuffer(anchors_b, dtype=np.int32) \
+                .reshape(-1, 2).astype(np.int64)
+            # split per row (row_of ascending)
+            starts_r = np.searchsorted(row_of, np.arange(len(gids) + 1))
+            for r, gi in enumerate(gids):
+                s, e = starts_r[r], starts_r[r + 1]
+                if s < e:
+                    per_group[gi] = (coords[s:e], vscore[s:e], vdiv[s:e],
+                                     [anchors[aoff[v]:aoff[v + 1]]
+                                      for v in range(s, e)])
+
+        # assemble Overlap objects in original group order (determinism
+        # + the max_overlaps economy both depend on this order)
+        div_windows: Dict[int, Dict[int, Overlap]] = {}
+        seg_batcher = SegmentBatcher() if self.nucl_alignment else None
+        pending = []
+        for gi in range(G):
+            entry = per_group[gi]
+            if entry is None:
+                continue
+            qi = int(g_qi[gi])
+            sid, cur_len, _ = query_meta[qi]
+            detected = results[sid]
+            if max_overlaps and len(detected) >= max_overlaps:
+                continue
+            coords, vscore, vdiv, anchor_list = entry
+            eid = int(g_eid[gi])
+            elen = int(g_elen[gi])
+            for v in range(len(vscore)):
+                ov = Overlap(sid, eid, int(coords[v, 0]),
+                             int(coords[v, 1]), cur_len,
+                             int(coords[v, 2]), int(coords[v, 3]), elen,
+                             score=int(vscore[v]),
+                             divergence=float(vdiv[v]))
+                ov.kmer_matches = anchor_list[v]
+                if self.nucl_alignment:
+                    cur_codes = query_store.get(sid)
+                    ext_codes = self.targets.get(ov.ext_id)
+                    finish = anchored_divergence(
+                        cur_codes, ext_codes, self._anchors_for(ov),
+                        self.k, use_hpc=self.use_hpc,
+                        batcher=seg_batcher)
+                    pending.append((sid, ov, finish))
+                else:
+                    self._keep_or_trim(ov, None, detected,
+                                       div_windows.setdefault(sid, {}))
+
+        if pending:
+            dists = seg_batcher.run()
+            for sid, ov, finish in pending:
+                div, per_seg, spans = finish(dists)
+                ov.divergence = div
+                self._keep_or_trim(ov, (per_seg, spans), results[sid],
+                                   div_windows.setdefault(sid, {}))
+
+        for sid_windows in div_windows.values():
+            for ov in sid_windows.values():
+                self.div_stats.append(ov.divergence)
+        return results
+
+    def _run_chain_dp_buckets(self, goff, glens, gcur, gext):
+        """Bucketed device chain DP over array-form groups; yields
+        (gids, W, score_mat, parent_mat) per bucket batch."""
+        by_bucket: Dict[int, List[int]] = {}
+        for gi, m in enumerate(glens):
+            bucket = next((b for b in _CHAIN_BUCKETS if m <= b),
+                          _CHAIN_BUCKETS[-1])
+            by_bucket.setdefault(bucket, []).append(gi)
+        t_buckets = (8, 32, 128, 512, 2048)
+        # dispatch every bucket first (JAX dispatch is async), then
+        # fetch: compute of bucket N overlaps the fetch of bucket N-1,
+        # collapsing ~5 blocking tunnel round trips per batch into ~1
+        from flye_tpu.parallel.runtime import get_runtime
+        import jax.numpy as jnp
+        pend = []
+        with _phase("dp"):
+            for bucket, gids in by_bucket.items():
+                T = next((t for t in t_buckets if len(gids) <= t),
+                         len(gids))
+                cur = np.zeros((T, bucket), dtype=np.int32)
+                ext = np.zeros((T, bucket), dtype=np.int32)
+                nv = np.zeros(T, dtype=np.int32)
+                for r, gi in enumerate(gids):
+                    s = goff[gi]
+                    m = min(int(glens[gi]), bucket)
+                    cur[r, :m] = gcur[s:s + m]
+                    ext[r, :m] = gext[s:s + m]
+                    nv[r] = m
+                curd, extd, nvd = get_runtime().shard_rows(cur, ext, nv)
+                score, parent = chain_dp(curd, extd, nvd, self.k,
+                                         self.max_jump,
+                                         lookback=min(_LOOKBACK, bucket))
+                pend.append((gids, bucket,
+                             jnp.stack([score[:len(gids)],
+                                        parent[:len(gids)]])))
+        for gids, bucket, both_dev in pend:
+            with _phase("dp"):
+                both = np.asarray(both_dev)
+            # the native finisher reads int32 rows
+            yield (gids, bucket, both[0].astype(np.int32, copy=False),
+                   both[1].astype(np.int32, copy=False))
 
     def _run_chain_dp(self, groups):
         """Pad groups into per-bucket batches and run the device DP."""
@@ -524,10 +767,18 @@ class OverlapStore:
             self._cache[fwd_id] = entry
         return entry[0] if sid % 2 == 0 else entry[1]
 
-    def prefetch(self, sids, batch_rows: int = 48,
-                 max_batch_bases: int = 4 << 20,
+    def prefetch(self, sids, batch_rows: int = 128,
+                 max_batch_bases: int = 8 << 20,
                  progress_every: int = 0) -> None:
-        """Batch-fill the overlap cache (cross-read device batching)."""
+        """Batch-fill the overlap cache (cross-read device batching).
+
+        Batches go through a 2-deep thread pipeline: while one batch
+        waits on the device (GIL released in the tunnel fetch), the
+        other runs its native host prep/finish (GIL released in C++) —
+        the two-core analog of the reference's thread pool over the
+        same loop (reference: overlap.cpp:630-668).  Per-batch results
+        are independent, so the cache contents are identical to
+        sequential order."""
         todo = []
         seen = set()
         for sid in sids:
@@ -537,7 +788,7 @@ class OverlapStore:
                 todo.append(fwd)
         # group by similar length for padding efficiency
         todo.sort(key=lambda s: self.queries.length(s))
-        done = 0
+        groups = []
         i = 0
         while i < len(todo):
             group = [todo[i]]
@@ -549,15 +800,30 @@ class OverlapStore:
                 group.append(todo[i])
                 bases += self.queries.length(todo[i])
                 i += 1
-            res = self.engine.get_overlaps_batch(
-                self.queries, group,
-                max_overlaps=self.engine.max_cur_overlaps)
-            for sid, ovlps in res.items():
-                self._cache[sid] = (ovlps,
-                                    [o.complement() for o in ovlps])
-            done += len(group)
-            if progress_every and done // progress_every !=                     (done - len(group)) // progress_every:
-                logger.info("overlaps: %d/%d reads", done, len(todo))
+            groups.append(group)
+
+        from concurrent.futures import ThreadPoolExecutor
+        done = 0
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = []
+            gi = 0
+            while gi < len(groups) or futs:
+                while gi < len(groups) and len(futs) < 2:
+                    futs.append((groups[gi], ex.submit(
+                        self.engine.get_overlaps_batch, self.queries,
+                        groups[gi],
+                        max_overlaps=self.engine.max_cur_overlaps)))
+                    gi += 1
+                group, fut = futs.pop(0)
+                res = fut.result()
+                for sid, ovlps in res.items():
+                    self._cache[sid] = (ovlps,
+                                        [o.complement() for o in ovlps])
+                done += len(group)
+                if (progress_every and done // progress_every !=
+                        (done - len(group)) // progress_every):
+                    logger.info("overlaps: %d/%d reads", done,
+                                len(todo))
 
     def overlaps(self, sid: int) -> List[Overlap]:
         return self.lazy_overlaps(sid)
@@ -676,8 +942,12 @@ class OverlapStore:
         if not ids:
             self.mean_true_divergence = 0.5
             return
-        sample = list({ids[int(rng.integers(0, len(ids)))]
-                       for _ in range(min(max_seqs, len(ids)))})
+        # sample distinct ids so the effective sample size is exactly
+        # min(max_seqs, n) (reference: overlap.cpp:752-760 samples
+        # without replacement via shuffled id list)
+        n_sample = min(max_seqs, len(ids))
+        sample = [ids[i] for i in
+                  rng.choice(len(ids), size=n_sample, replace=False)]
         sample.sort(key=lambda s: self.queries.length(s))
         divs = []
         for lo in range(0, len(sample), 48):

@@ -19,38 +19,58 @@ from flye_tpu.io.fasta import codes_to_str
 logger = logging.getLogger("flye_tpu")
 
 
+def _rc_sign(sign: str) -> str:
+    return "-" if sign == "+" else "+"
+
+
 def build_scaffolds(contigs: List[ContigInfo],
                     links: Sequence[Tuple[str, str]]
                     ) -> Dict[str, List[str]]:
-    """Chain contigs into scaffolds following link pairs
-    (reference: scaffolder.py:20-78). Links refer to signed unbranching
-    path names; here we only chain whole contigs by name."""
-    # map contig -> next contig
-    nxt: Dict[str, str] = {}
-    has_prev = set()
+    """Chain contigs into scaffolds following signed link pairs
+    (reference: scaffolder.py:20-78 generate_scaffolds).
+
+    Links carry signed unbranching-path names ('+3', '-5'); members are
+    returned as signed contig names ('+contig_3') so the writer knows
+    which ones to reverse-complement — the reference flips
+    '-'-oriented members when composing the scaffold sequence
+    (reference: scaffolder.py:66-73)."""
     names = {c.name for c in contigs}
+    # bidirectional connection map over signed contig names; the rc
+    # entry mirrors the link for walks arriving from the other side
+    # (reference: scaffolder.py:27-34)
+    connections: Dict[str, str] = {}
     for a, b in links:
-        ua, ub = a.lstrip("+-"), b.lstrip("+-")
-        ca, cb = f"contig_{ua}", f"contig_{ub}"
-        if ca in names and cb in names and ca not in nxt and \
-                cb not in has_prev:
-            nxt[ca] = cb
-            has_prev.add(cb)
+        sa = a[0] if a[0] in "+-" else "+"
+        sb = b[0] if b[0] in "+-" else "+"
+        ca = f"contig_{a.lstrip('+-')}"
+        cb = f"contig_{b.lstrip('+-')}"
+        if ca in names and cb in names:
+            connections[sa + ca] = sb + cb
+            connections[_rc_sign(sb) + cb] = _rc_sign(sa) + ca
 
     scaffolds: Dict[str, List[str]] = {}
-    idx = 1
     used = set()
     for c in contigs:
-        if c.name in used or c.name in has_prev:
+        if c.name in used:
             continue
-        chain = [c.name]
         used.add(c.name)
-        while chain[-1] in nxt and nxt[chain[-1]] not in used:
-            chain.append(nxt[chain[-1]])
-            used.add(chain[-1])
-        name = f"scaffold_{idx}" if len(chain) > 1 else chain[0]
-        scaffolds[name] = chain
-        idx += 1
+        # extend left (via the '-' orientation), flip, then extend right
+        # (reference: scaffolder.py:40-57)
+        scf = ["-" + c.name]
+        while (scf[-1] in connections and
+               connections[scf[-1]][1:] not in used):
+            scf.append(connections[scf[-1]])
+            used.add(scf[-1][1:])
+        scf = [_rc_sign(m[0]) + m[1:] for m in scf][::-1]
+        while (scf[-1] in connections and
+               connections[scf[-1]][1:] not in used):
+            scf.append(connections[scf[-1]])
+            used.add(scf[-1][1:])
+        if len(scf) == 1:
+            scaffolds[c.name] = scf
+        else:
+            num = scf[0][1:].replace("contig_", "")
+            scaffolds[f"scaffold_{num}"] = scf
     return scaffolds
 
 
@@ -64,20 +84,28 @@ def write_assembly(contigs: List[ContigInfo],
     records = []
     info_rows = []
     for scf_name, chain in scaffolds.items():
-        seq = gap.join(codes_to_str(by_name[n].sequence) for n in chain)
+        # '-'-oriented members enter reverse-complemented
+        # (reference: scaffolder.py:66-73)
+        parts = []
+        for m in chain:
+            codes = by_name[m[1:]].sequence
+            if m[0] == "-":
+                codes = (3 - codes)[::-1]
+            parts.append(codes_to_str(codes))
+        seq = gap.join(parts)
         records.append((scf_name, seq))
-        first = by_name[chain[0]]
-        length = sum(by_name[n].length for n in chain) + \
+        members = [by_name[m[1:]] for m in chain]
+        first = members[0]
+        length = sum(c.length for c in members) + \
             (len(chain) - 1) * int(PIPELINE["scaffold_gap"])
-        cov = int(np.mean([by_name[n].coverage for n in chain]))
-        mult = min(by_name[n].multiplicity for n in chain)
+        cov = int(np.mean([c.coverage for c in members]))
+        mult = min(c.multiplicity for c in members)
         info_rows.append((scf_name, length, cov,
                           "Y" if first.circular else "N",
                           "Y" if first.repetitive else "N",
                           mult,
                           first.alt_group if first.alt_group >= 0 else "*",
-                          ",??,".join(by_name[n].graph_path
-                                      for n in chain)))
+                          ",??,".join(c.graph_path for c in members)))
 
     with open(fasta_out, "w") as f:
         for name, seq in records:

@@ -117,3 +117,54 @@ def test_solid_tandem_filter(rng):
     # >5 times within the read
     n_tandem_posts = int((idx.post_seq == tandem_idx).sum())
     assert n_tandem_posts <= 16  # only boundary kmers may survive
+
+
+def test_solid_device_select_byte_identical(rng):
+    """The device-resident counting pass (_solid_select_device) must
+    produce a byte-identical index to the host counting pass
+    (reference analog: vertex_index.cpp:499-633 KmerCounter +
+    buildIndexUnevenCoverage)."""
+    genome = random_genome(600, seed=11)
+    store = SequenceStore()
+    local = np.random.default_rng(7)
+    for i in range(12):
+        # slightly perturbed copies so frequencies vary across kmers
+        mut = genome.copy()
+        flips = local.integers(0, len(mut), size=8)
+        mut[flips] = (mut[flips] + local.integers(1, 4, size=8)) % 4
+        store.add(f"r{i}", mut)
+    import logging
+    for k, rate, tandem in ((13, 0.5, 10), (9, 1.0, 5)):
+        host = KmerIndex.build_solid(store, k, select_rate=rate,
+                                     tandem_freq=tandem,
+                                     global_min_freq=2,
+                                     device_select=False)
+        # a device-path failure silently falls back to host counting,
+        # which would make this test vacuous — fail hard instead
+        logger = logging.getLogger("flye_tpu")
+        records = []
+
+        class _Trap(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        trap = _Trap(level=logging.WARNING)
+        logger.addHandler(trap)
+        try:
+            dev = KmerIndex.build_solid(store, k, select_rate=rate,
+                                        tandem_freq=tandem,
+                                        global_min_freq=2,
+                                        device_select=True)
+        finally:
+            logger.removeHandler(trap)
+        assert not any("falling back" in r.getMessage()
+                       for r in records), \
+            "device solid-kmer selection fell back to host counting"
+        np.testing.assert_array_equal(np.asarray(host.uniq_kmers),
+                                      np.asarray(dev.uniq_kmers))
+        np.testing.assert_array_equal(host.counts, dev.counts)
+        np.testing.assert_array_equal(host.offsets, dev.offsets)
+        np.testing.assert_array_equal(host.post_seq, dev.post_seq)
+        np.testing.assert_array_equal(host.post_pos, dev.post_pos)
+        np.testing.assert_array_equal(host.post_flip, dev.post_flip)
+        np.testing.assert_array_equal(host.repetitive, dev.repetitive)

@@ -11,6 +11,9 @@ import os
 import numpy as np
 import pytest
 
+# full E2E runs: excluded from the fast unit gate (run with -m slow)
+pytestmark = pytest.mark.slow
+
 from flye_tpu.io.fasta import read_seq_file, write_fasta
 from flye_tpu.utils.simulate import random_genome, simulate_reads
 

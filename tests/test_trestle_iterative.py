@@ -10,6 +10,10 @@ from flye_tpu.repeat.graph import EdgeSequence, GraphEdge, RepeatGraph
 from flye_tpu.repeat.processing import UnbranchingPath
 from flye_tpu.repeat.read_aligner import EdgeAlignment
 from flye_tpu.trestle.trestle import SimpleRepeat, _iterative_partition
+import pytest
+
+# full E2E runs: excluded from the fast unit gate (run with -m slow)
+pytestmark = pytest.mark.slow
 
 L = 1500
 

@@ -97,7 +97,7 @@ def bench_chain():
     return T * M * lookback / min(times) / 1e9  # Gcells/s
 
 
-def bench_overlap_phase(genome_kb=150, coverage=20):
+def bench_overlap_phase(genome_kb=500, coverage=20):
     """Overlap phase end-to-end on real simulated reads: solid-kmer
     index build + all-vs-all overlap prefetch (the reference's
     `flye-modules assemble` hot path).  Returns (reads/s, Mbases/s)."""
@@ -123,6 +123,8 @@ def bench_overlap_phase(genome_kb=150, coverage=20):
                            max_overhang=cfg.maximum_overhang,
                            only_max_ext=True)
     ovlp = OverlapStore(engine, store)
+    from flye_tpu.overlap.engine import phase_times, reset_phase_times
+    reset_phase_times()
     t0 = time.perf_counter()
     ovlp.prefetch(store.ids())
     t_prefetch = time.perf_counter() - t0
@@ -134,6 +136,11 @@ def bench_overlap_phase(genome_kb=150, coverage=20):
           f"{len(store)/total:.1f} reads/s, "
           f"{store.total_length/1e6/total:.2f} Mbases/s",
           file=sys.stderr)
+    # per-phase attribution (wall, overlapped across the 2-deep thread
+    # pipeline, so phases can sum to more than the ava wall)
+    ph = phase_times()
+    print("overlap phases: " + ", ".join(
+        f"{k} {v:.1f}s" for k, v in sorted(ph.items())), file=sys.stderr)
     return len(store) / total, store.total_length / 1e6 / total
 
 

@@ -108,6 +108,12 @@ def batched_ids(store: SequenceStore, ids: Sequence[int],
 class KmerIndex:
     """Posting-list index over a SequenceStore."""
 
+    # single-device probing may run on the host (native probe_stream):
+    # on the remote-tunnel deployment the device probe is gather-bound
+    # (see probe_stream_host).  ShardedKmerIndex keeps the device path —
+    # its table is partitioned across the mesh.
+    host_probe_ok = True
+
     def __init__(self, store: SequenceStore, k: int):
         self.store = store
         self.k = k
@@ -182,6 +188,24 @@ class KmerIndex:
         starts_p = np.full(Sp, n_total, dtype=np.int64)
         starts_p[:len(starts)] = starts
         starts_dev = jnp.asarray(starts_p)
+
+        if w == 1:
+            # single-device w=1 extraction runs on the host: the device
+            # pass is latency/transfer-bound here (same trade as
+            # probe_stream_host), and the native rolling extraction is
+            # byte-identical (tests/test_index.py builds go through it)
+            from flye_tpu import native
+            mod = native.get()
+            if mod is not None:
+                kb, rb, pb, fb = mod.extract_kmers(
+                    np.ascontiguousarray(stream, dtype=np.uint8),
+                    starts, len(ids), int(k), int(sample))
+                rid = np.frombuffer(rb, np.int32)
+                seq = np.asarray([s >> 1 for s in ids],
+                                 dtype=np.int32)[rid]
+                return (np.frombuffer(kb, np.int64), seq,
+                        np.frombuffer(pb, np.int32),
+                        np.frombuffer(fb, np.uint8).astype(bool))
 
         kmers_l, seq_l, pos_l, flip_l = [], [], [], []
         strided = np.lib.stride_tricks.as_strided(
@@ -572,6 +596,62 @@ class KmerIndex:
         """Hook for subclasses whose device probe table is a re-sorted
         view of the uniq arrays (ShardedKmerIndex)."""
         return row
+
+    def _host_probe_lut(self):
+        """16-bit-prefix lookup table into the sorted uniq array
+        (prefix = kmer >> shift); bounds each native probe's binary
+        search to a handful of entries."""
+        cached = getattr(self, "_probe_lut", None)
+        if cached is not None:
+            return cached
+        bits = min(16, 2 * self.k)
+        shift = 2 * self.k - bits
+        bounds = np.arange((1 << bits) + 1, dtype=np.int64) << shift
+        lut = np.searchsorted(np.asarray(self.uniq_kmers), bounds) \
+            .astype(np.int64)
+        self._probe_lut = (np.ascontiguousarray(lut), shift)
+        return self._probe_lut
+
+    def probe_stream_host(self, store, sids):
+        """Native (C++) equivalent of probe_stream_flat for the
+        single-device case, or None when unavailable.
+
+        The device probe kernel is GATHER-bound on this hardware (the
+        binary search over the uniq table serializes ~20 gathers per
+        position; measured 7.4 s per 8.4 Mb call on the chip, ~1 Mb/s)
+        and fetches 4 bytes per base through the ~30 MB/s tunnel.  The
+        threaded native probe does the same lookup cache-resident with
+        a 16-bit prefix LUT and emits only the hits.  Byte-identical
+        outputs (tests/test_overlap_native.py exercises both paths).
+        """
+        if not self.host_probe_ok:
+            return None
+        from flye_tpu import native
+        mod = native.get()
+        if mod is None:
+            return None
+        k = self.k
+        lens = np.asarray([store.length(s) for s in sids],
+                          dtype=np.int64)
+        starts = np.zeros(len(sids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        n_total = int(starts[-1])
+        z = np.zeros(0, dtype=np.int64)
+        if n_total == 0 or self.num_kmers == 0:
+            return z, z, z.astype(bool), z, starts, n_total
+        stream = np.ascontiguousarray(
+            np.concatenate([store.get(s) for s in sids]),
+            dtype=np.uint8)
+        lut, shift = self._host_probe_lut()
+        g_hit_b, row_b, fwd_b, grep_b = mod.probe_stream(
+            stream, starts, len(sids),
+            np.ascontiguousarray(self.uniq_kmers, dtype=np.int64),
+            np.ascontiguousarray(self.repetitive).view(np.uint8),
+            lut, int(k), int(shift))
+        return (np.frombuffer(g_hit_b, np.int64),
+                np.frombuffer(row_b, np.int64),
+                np.frombuffer(fwd_b, np.uint8).astype(bool),
+                np.frombuffer(grep_b, np.int64), starts, n_total)
 
     def probe_stream_flat(self, store, sids):
         """Probe every k-mer of the given query strands through the

@@ -29,6 +29,10 @@ logger = logging.getLogger("flye_tpu")
 
 
 class ShardedKmerIndex(KmerIndex):
+    # the sharded table is partitioned across mesh devices; probing
+    # must go through the device all-to-all path, not the host probe
+    host_probe_ok = False
+
     """KmerIndex partitioned by k-mer hash."""
 
     def __init__(self, store: SequenceStore, k: int, n_shards: int):

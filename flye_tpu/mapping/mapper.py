@@ -66,10 +66,21 @@ class ReadMapper:
         by_target: Dict[int, List[Overlap]] = {}
         ids = sorted(reads.ids(), key=reads.length)
         done = 0
-        for lo in range(0, len(ids), 48):
-            group = ids[lo:lo + 48]
-            res = self.engine.get_overlaps_batch(reads, group,
-                                                 force_local=True)
+        # 2-deep thread pipeline, same rationale as OverlapStore.prefetch:
+        # one batch's device wait overlaps the other's native host work
+        from concurrent.futures import ThreadPoolExecutor
+        groups = [ids[lo:lo + 512] for lo in range(0, len(ids), 512)]
+        ex = ThreadPoolExecutor(max_workers=2)
+        futs = []
+        gi = 0
+        while gi < len(groups) or futs:
+            while gi < len(groups) and len(futs) < 2:
+                futs.append((groups[gi], ex.submit(
+                    self.engine.get_overlaps_batch, reads, groups[gi],
+                    True)))
+                gi += 1
+            group, fut = futs.pop(0)
+            res = fut.result()
             for sid, ovlps in res.items():
                 if not ovlps:
                     continue
@@ -83,8 +94,10 @@ class ReadMapper:
                         rev = rev.complement()
                     by_target.setdefault(rev.cur_id, []).append(rev)
             done += len(group)
-            if progress_every and done % progress_every < 48:
+            if (progress_every and done // progress_every !=
+                    (done - len(group)) // progress_every):
                 logger.info("mapped %d/%d reads", done, len(ids))
+        ex.shutdown()
         for tid in by_target:
             by_target[tid].sort(key=lambda o: o.cur_begin)
         return by_target

@@ -811,14 +811,485 @@ static PyObject* chain_group_prep(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
+// extract_kmers: rolling canonical k-mer extraction over a concatenated
+// read stream, sampling every `sample`-th position per read (the w=1
+// path of the device kernel ops/kmers.py stream_select_packed; the
+// reference analog is IterKmers, kmer.h:131-204).  Same rationale as
+// probe_stream: on this deployment the device pass is dominated by
+// per-call latency and the packed full-stream fetch.
+//
+// codes uint8[N]; starts int64[nq+1]; k; sample.
+// Returns (kmers int64[M], rid int32[M], pos int32[M], flip uint8[M])
+// in ascending stream order (flip = canonical form is the rc strand).
+// ---------------------------------------------------------------------
+static PyObject* extract_kmers(PyObject*, PyObject* args) {
+  Py_buffer codes_b, st_b;
+  Py_ssize_t nq;
+  int k, sample;
+  if (!PyArg_ParseTuple(args, "y*y*nii", &codes_b, &st_b, &nq, &k,
+                        &sample)) {
+    return nullptr;
+  }
+  const unsigned char* codes = static_cast<const unsigned char*>(codes_b.buf);
+  const int64_t* starts = static_cast<const int64_t*>(st_b.buf);
+
+  struct Part {
+    std::vector<int64_t> kmers;
+    std::vector<int32_t> rid, pos;
+    std::vector<unsigned char> flip;
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt_threads = hw ? (int)hw : 2;
+  if (nt_threads > nq) nt_threads = (int)(nq ? nq : 1);
+  if (nt_threads < 1) nt_threads = 1;
+  std::vector<Part> parts(nt_threads);
+  const int64_t n_total = starts[nq];
+  std::vector<Py_ssize_t> cut(nt_threads + 1, 0);
+  for (int t = 1; t < nt_threads; ++t) {
+    const int64_t target = n_total * t / nt_threads;
+    cut[t] = std::lower_bound(starts, starts + nq + 1, target) - starts;
+  }
+  cut[nt_threads] = nq;
+
+  const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  auto worker = [&](int t) {
+    Part& out = parts[t];
+    for (Py_ssize_t q = cut[t]; q < cut[t + 1]; ++q) {
+      const int64_t s0 = starts[q], s1 = starts[q + 1];
+      const int64_t len = s1 - s0;
+      if (len < k) continue;
+      uint64_t fwd = 0, rc = 0;
+      for (int j = 0; j < k - 1; ++j) {
+        const uint64_t c = codes[s0 + j];
+        fwd = (fwd << 2) | c;
+        rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+      }
+      for (int64_t p = k - 1; p < len; ++p) {
+        const uint64_t c = codes[s0 + p];
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+        const int64_t kpos = p - (k - 1);
+        if (sample > 1 && kpos % sample != 0) continue;
+        const bool is_fwd = fwd <= rc;
+        out.kmers.push_back((int64_t)(is_fwd ? fwd : rc));
+        out.rid.push_back((int32_t)q);
+        out.pos.push_back((int32_t)kpos);
+        out.flip.push_back(is_fwd ? 0 : 1);
+      }
+    }
+  };
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  size_t M = 0;
+  for (auto& p : parts) M += p.kmers.size();
+  std::vector<int64_t> kmers;
+  std::vector<int32_t> rid, pos;
+  std::vector<unsigned char> flip;
+  kmers.reserve(M);
+  rid.reserve(M);
+  pos.reserve(M);
+  flip.reserve(M);
+  for (auto& p : parts) {
+    kmers.insert(kmers.end(), p.kmers.begin(), p.kmers.end());
+    rid.insert(rid.end(), p.rid.begin(), p.rid.end());
+    pos.insert(pos.end(), p.pos.begin(), p.pos.end());
+    flip.insert(flip.end(), p.flip.begin(), p.flip.end());
+  }
+  auto as_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize(static_cast<const char*>(p),
+                                     (Py_ssize_t)nbytes);
+  };
+  PyObject* r = Py_BuildValue(
+      "NNNN", as_bytes(kmers.data(), kmers.size() * 8),
+      as_bytes(rid.data(), rid.size() * 4),
+      as_bytes(pos.data(), pos.size() * 4),
+      as_bytes(flip.data(), flip.size()));
+  PyBuffer_Release(&codes_b);
+  PyBuffer_Release(&st_b);
+  return r;
+}
+
+// ---------------------------------------------------------------------
+// probe_stream: rolling canonical k-mer extraction + sorted-table
+// lookup over a concatenated read stream (behavioral twin of the
+// device kernel ops/kmers.py stream_probe_packed; the reference's
+// analog is IterKmers + VertexIndex::iterKmerPos,
+// reference: overlap.cpp:176-196, kmer.h:131-204).
+//
+// On this deployment the device kernel is GATHER-bound (binary search
+// over the uniq table costs ~20 serialized gathers per position) and
+// its packed output is a 4-bytes-per-base fetch through a ~30 MB/s
+// link; the host does the same probe cache-resident with a 16-bit
+// prefix LUT and emits only the hits.  The sharded (mesh) index keeps
+// the device path — its table lives device-side per shard.
+//
+// codes uint8[N]; starts int64[nq+1]; uniq int64[nk] sorted;
+// repet uint8[nk]; lut int64[nlut+1] (prefix -> uniq range, prefix =
+// kmer >> lut_shift); k.
+// Returns (g_hit int64[H], row_hit int64[H], fwd_hit uint8[H],
+//          g_rep int64[F]) in ascending stream order.
+// ---------------------------------------------------------------------
+static PyObject* probe_stream(PyObject*, PyObject* args) {
+  Py_buffer codes_b, st_b, uniq_b, rep_b, lut_b;
+  Py_ssize_t nq;
+  int k, lut_shift;
+  if (!PyArg_ParseTuple(args, "y*y*ny*y*y*ii", &codes_b, &st_b, &nq,
+                        &uniq_b, &rep_b, &lut_b, &k, &lut_shift)) {
+    return nullptr;
+  }
+  const unsigned char* codes = static_cast<const unsigned char*>(codes_b.buf);
+  const int64_t* starts = static_cast<const int64_t*>(st_b.buf);
+  const int64_t* uniq = static_cast<const int64_t*>(uniq_b.buf);
+  const unsigned char* repet = static_cast<const unsigned char*>(rep_b.buf);
+  const int64_t* lut = static_cast<const int64_t*>(lut_b.buf);
+
+  struct Part {
+    std::vector<int64_t> g_hit, row_hit, g_rep;
+    std::vector<unsigned char> fwd_hit;
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt_threads = hw ? (int)hw : 2;
+  if (nt_threads > nq) nt_threads = (int)(nq ? nq : 1);
+  if (nt_threads < 1) nt_threads = 1;
+  std::vector<Part> parts(nt_threads);
+  // balance threads by stream bases, split at read boundaries
+  const int64_t n_total = starts[nq];
+  std::vector<Py_ssize_t> cut(nt_threads + 1, 0);
+  for (int t = 1; t < nt_threads; ++t) {
+    const int64_t target = n_total * t / nt_threads;
+    cut[t] = std::lower_bound(starts, starts + nq + 1, target) - starts;
+  }
+  cut[nt_threads] = nq;
+
+  const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  auto worker = [&](int t) {
+    Part& out = parts[t];
+    for (Py_ssize_t q = cut[t]; q < cut[t + 1]; ++q) {
+      const int64_t s0 = starts[q], s1 = starts[q + 1];
+      const int64_t len = s1 - s0;
+      if (len < k) continue;
+      uint64_t fwd = 0, rc = 0;
+      for (int j = 0; j < k - 1; ++j) {
+        const uint64_t c = codes[s0 + j];
+        fwd = (fwd << 2) | c;
+        rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+      }
+      for (int64_t p = k - 1; p < len; ++p) {
+        const uint64_t c = codes[s0 + p];
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)));
+        const uint64_t canon = fwd <= rc ? fwd : rc;
+        const int64_t b = (int64_t)(canon >> lut_shift);
+        const int64_t lo = lut[b], hi = lut[b + 1];
+        const int64_t* it = std::lower_bound(
+            uniq + lo, uniq + hi, (int64_t)canon);
+        if (it == uniq + hi || *it != (int64_t)canon) continue;
+        const int64_t row = it - uniq;
+        const int64_t g = s0 + p - (k - 1);
+        if (repet[row]) {
+          out.g_rep.push_back(g);
+        } else {
+          out.g_hit.push_back(g);
+          out.row_hit.push_back(row);
+          out.fwd_hit.push_back(fwd <= rc ? 1 : 0);
+        }
+      }
+    }
+  };
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  size_t H = 0, F = 0;
+  for (auto& p : parts) {
+    H += p.g_hit.size();
+    F += p.g_rep.size();
+  }
+  std::vector<int64_t> g_hit, row_hit, g_rep;
+  std::vector<unsigned char> fwd_hit;
+  g_hit.reserve(H);
+  row_hit.reserve(H);
+  fwd_hit.reserve(H);
+  g_rep.reserve(F);
+  for (auto& p : parts) {
+    g_hit.insert(g_hit.end(), p.g_hit.begin(), p.g_hit.end());
+    row_hit.insert(row_hit.end(), p.row_hit.begin(), p.row_hit.end());
+    fwd_hit.insert(fwd_hit.end(), p.fwd_hit.begin(), p.fwd_hit.end());
+    g_rep.insert(g_rep.end(), p.g_rep.begin(), p.g_rep.end());
+  }
+  auto as_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize(static_cast<const char*>(p),
+                                     (Py_ssize_t)nbytes);
+  };
+  PyObject* r = Py_BuildValue(
+      "NNNN", as_bytes(g_hit.data(), g_hit.size() * 8),
+      as_bytes(row_hit.data(), row_hit.size() * 8),
+      as_bytes(fwd_hit.data(), fwd_hit.size()),
+      as_bytes(g_rep.data(), g_rep.size() * 8));
+  for (Py_buffer* pb : {&codes_b, &st_b, &uniq_b, &rep_b, &lut_b}) {
+    PyBuffer_Release(pb);
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------
+// collect_matches: posting-list expansion for a batch of probed reads
+// (behavioral port of the match-collection loop,
+// reference: overlap.cpp:176-196, and the numpy gather block in
+// overlap/engine.py _collect_matches_batch which it replaces on the
+// fast path — the fancy-indexed expansion over millions of postings
+// was the gather phase's host cost).
+//
+// Inputs: g_hit int64[H] ascending stream positions with index hits,
+// row_hit int64[H] index rows, fwd_hit uint8[H] (query kmer forward?),
+// counts int32[nk], offsets int64[nk+1] posting ranges,
+// post_seq int32[P], post_pos int32[P], post_flip uint8[P],
+// tlens int64[nt] target lengths, starts int64[nq+1] per-read stream
+// offsets, sids int64[nq] strand ids, k, symmetric.
+// Returns (qpos int32[M], ext_id int64[M], ext_pos int32[M],
+//          qbounds int64[nq+1]) in the exact order the numpy path
+// produced (hits in stream order, postings in index order).
+// ---------------------------------------------------------------------
+static PyObject* collect_matches(PyObject*, PyObject* args) {
+  Py_buffer gh_b, rh_b, fh_b, cnt_b, off_b, ps_b, pp_b, pf_b, tl_b,
+      st_b, sid_b;
+  Py_ssize_t H, nq;
+  int k, symmetric;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*y*y*y*y*nnii", &gh_b, &rh_b,
+                        &fh_b, &cnt_b, &off_b, &ps_b, &pp_b, &pf_b, &tl_b,
+                        &st_b, &sid_b, &H, &nq, &k, &symmetric)) {
+    return nullptr;
+  }
+  const int64_t* g_hit = static_cast<const int64_t*>(gh_b.buf);
+  const int64_t* row_hit = static_cast<const int64_t*>(rh_b.buf);
+  const unsigned char* fwd_hit = static_cast<const unsigned char*>(fh_b.buf);
+  const int32_t* counts = static_cast<const int32_t*>(cnt_b.buf);
+  const int64_t* offsets = static_cast<const int64_t*>(off_b.buf);
+  const int32_t* post_seq = static_cast<const int32_t*>(ps_b.buf);
+  const int32_t* post_pos = static_cast<const int32_t*>(pp_b.buf);
+  const unsigned char* post_flip = static_cast<const unsigned char*>(pf_b.buf);
+  const int64_t* tlens = static_cast<const int64_t*>(tl_b.buf);
+  const int64_t* starts = static_cast<const int64_t*>(st_b.buf);
+  const int64_t* sids = static_cast<const int64_t*>(sid_b.buf);
+
+  struct Part {
+    std::vector<int32_t> qpos, extpos;
+    std::vector<int64_t> extid, qi;
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt_threads = hw ? (int)hw : 2;
+  if (nt_threads > H) nt_threads = (int)(H ? H : 1);
+  if (nt_threads < 1) nt_threads = 1;
+  std::vector<Part> parts(nt_threads);
+  std::vector<std::pair<Py_ssize_t, Py_ssize_t>> ranges(nt_threads);
+  for (int t = 0; t < nt_threads; ++t) {
+    ranges[t] = {H * t / nt_threads, H * (t + 1) / nt_threads};
+  }
+  auto worker = [&](int t) {
+    Part& out = parts[t];
+    Py_ssize_t lo = ranges[t].first, hi = ranges[t].second;
+    if (lo >= hi) return;
+    // qi of the first hit by binary search; advance incrementally
+    int64_t qi = (std::upper_bound(starts, starts + nq + 1, g_hit[lo]) -
+                  starts) - 1;
+    for (Py_ssize_t h = lo; h < hi; ++h) {
+      const int64_t g = g_hit[h];
+      while (qi + 1 <= nq && starts[qi + 1] <= g) ++qi;
+      const int32_t qpos = (int32_t)(g - starts[qi]);
+      const int64_t row = row_hit[h];
+      const unsigned char qfwd = fwd_hit[h];
+      const int64_t p0 = offsets[row];
+      const int64_t p1 = p0 + counts[row];
+      const int64_t sid = sids[qi];
+      for (int64_t p = p0; p < p1; ++p) {
+        const unsigned char same = qfwd ^ post_flip[p];
+        const int64_t tseq = post_seq[p];
+        const int64_t ext_id = 2 * tseq + (same ? 0 : 1);
+        const int32_t ext_pos =
+            same ? post_pos[p]
+                 : (int32_t)(tlens[tseq] - k - post_pos[p]);
+        if (symmetric && ext_id == sid && ext_pos == qpos) continue;
+        out.qpos.push_back(qpos);
+        out.extid.push_back(ext_id);
+        out.extpos.push_back(ext_pos);
+        out.qi.push_back(qi);
+      }
+    }
+  };
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  int64_t M = 0;
+  for (auto& p : parts) M += (int64_t)p.qpos.size();
+  std::vector<int32_t> qpos_out, extpos_out;
+  std::vector<int64_t> extid_out;
+  qpos_out.reserve(M);
+  extpos_out.reserve(M);
+  extid_out.reserve(M);
+  std::vector<int64_t> qbounds(nq + 1, 0);
+  for (auto& p : parts) {
+    qpos_out.insert(qpos_out.end(), p.qpos.begin(), p.qpos.end());
+    extid_out.insert(extid_out.end(), p.extid.begin(), p.extid.end());
+    extpos_out.insert(extpos_out.end(), p.extpos.begin(), p.extpos.end());
+    for (int64_t qi : p.qi) ++qbounds[qi + 1];
+  }
+  for (Py_ssize_t q = 0; q < nq; ++q) qbounds[q + 1] += qbounds[q];
+
+  auto as_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize(static_cast<const char*>(p),
+                                     (Py_ssize_t)nbytes);
+  };
+  PyObject* r = Py_BuildValue(
+      "NNNN", as_bytes(qpos_out.data(), qpos_out.size() * 4),
+      as_bytes(extid_out.data(), extid_out.size() * 8),
+      as_bytes(extpos_out.data(), extpos_out.size() * 4),
+      as_bytes(qbounds.data(), qbounds.size() * 8));
+  for (Py_buffer* pb : {&gh_b, &rh_b, &fh_b, &cnt_b, &off_b, &ps_b,
+                        &pp_b, &pf_b, &tl_b, &st_b, &sid_b}) {
+    PyBuffer_Release(pb);
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------
+// chain_dp_host: full-window chaining DP for SMALL match groups.
+//
+// Semantics are exactly the device scan's (flye_tpu/ops/chain.py
+// _chain_dp_scan, itself a port of reference overlap.cpp:277-323):
+//   transition j -> i iff 0 < dcur < max_jump and 0 < dext < max_jump
+//   match = min(dcur, dext, k); gap = jd > 100 ? 2*jd : jd/2
+//   score[i] = max(k, best); parent[i] = best > k ? argmax j : -1
+//   (LATEST j wins ties, matching the scan's reversed argmax)
+// For groups of <= lookback matches the device's bounded window covers
+// every predecessor, so full-window host DP is bit-identical.  Small
+// groups are the vast majority and are LATENCY-bound on the remote
+// device tunnel (~0.4-0.9 s per dispatch for microseconds of VPU
+// work); the device keeps the big quadratic groups.
+//
+// (gcur, gext: int32; gstart/glen: int64[n]) ->
+//   (scoff int64[n], score int32[total], parent int32[total])
+// ---------------------------------------------------------------------
+static PyObject* chain_dp_host(PyObject*, PyObject* args) {
+  Py_buffer gcur_b, gext_b, gstart_b, glen_b;
+  Py_ssize_t n;
+  int k, max_jump;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*nii", &gcur_b, &gext_b, &gstart_b,
+                        &glen_b, &n, &k, &max_jump)) {
+    return nullptr;
+  }
+  const int32_t* gcur = static_cast<const int32_t*>(gcur_b.buf);
+  const int32_t* gext = static_cast<const int32_t*>(gext_b.buf);
+  const int64_t* gstarts = static_cast<const int64_t*>(gstart_b.buf);
+  const int64_t* glens = static_cast<const int64_t*>(glen_b.buf);
+
+  std::vector<int64_t> scoff(n + 1, 0);
+  for (Py_ssize_t r = 0; r < n; ++r) scoff[r + 1] = scoff[r] + glens[r];
+  const int64_t total = scoff[n];
+  std::vector<int32_t> score(total), parent(total);
+
+  std::atomic<Py_ssize_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      Py_ssize_t r = next.fetch_add(1);
+      if (r >= n) break;
+      const int64_t m = glens[r];
+      const int32_t* cur = gcur + gstarts[r];
+      const int32_t* ext = gext + gstarts[r];
+      int32_t* sc = score.data() + scoff[r];
+      int32_t* pa = parent.data() + scoff[r];
+      if (m == 0) continue;
+      // the group's chaining axis is sorted ascending (by cur, or by
+      // ext when the target is longer — the prep decides); walking
+      // predecessors backward lets us stop at the first one whose
+      // sorted-axis jump reaches max_jump: every earlier one jumps at
+      // least as far and is invalid too.  This bounds the quadratic
+      // window to the matches within max_jump bases, exactly like the
+      // reference's early break (reference: overlap.cpp:292-295).
+      bool cur_sorted = true, ext_sorted = true;
+      for (int64_t i = 1; i < m && (cur_sorted || ext_sorted); ++i) {
+        cur_sorted &= cur[i] >= cur[i - 1];
+        ext_sorted &= ext[i] >= ext[i - 1];
+      }
+      sc[0] = k;
+      pa[0] = -1;
+      for (int64_t i = 1; i < m; ++i) {
+        const int32_t ci = cur[i], ei = ext[i];
+        int64_t best = INT64_MIN;
+        int64_t bestj = -1;
+        // descending j: first-seen candidate wins ties (== the scan's
+        // latest-j-wins rule)
+        for (int64_t j = i - 1; j >= 0; --j) {
+          const int32_t dcur = ci - cur[j];
+          const int32_t dext = ei - ext[j];
+          if (cur_sorted && dcur >= max_jump) break;
+          if (ext_sorted && dext >= max_jump) break;
+          if (dcur <= 0 || dcur >= max_jump || dext <= 0 ||
+              dext >= max_jump) {
+            continue;
+          }
+          const int32_t match = std::min(std::min(dcur, dext), k);
+          const int32_t jd = std::abs(dcur - dext);
+          const int32_t gap = jd > 100 ? 2 * jd : jd / 2;
+          const int64_t cand = (int64_t)sc[j] + match - gap;
+          if (cand > best) {
+            best = cand;
+            bestj = j;
+          }
+        }
+        sc[i] = (int32_t)std::max<int64_t>(best, k);
+        pa[i] = best > k ? (int32_t)bestj : -1;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt_threads = hw ? (int)hw : 2;
+  if (nt_threads > n) nt_threads = (int)n;
+  if (nt_threads < 1) nt_threads = 1;
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  Py_END_ALLOW_THREADS;
+
+  auto as_bytes = [](const void* p, size_t nbytes) {
+    return PyBytes_FromStringAndSize(static_cast<const char*>(p),
+                                     (Py_ssize_t)nbytes);
+  };
+  PyObject* r = Py_BuildValue(
+      "NNN", as_bytes(scoff.data(), scoff.size() * 8),
+      as_bytes(score.data(), score.size() * 4),
+      as_bytes(parent.data(), parent.size() * 4));
+  for (Py_buffer* pb : {&gcur_b, &gext_b, &gstart_b, &glen_b}) {
+    PyBuffer_Release(pb);
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------
 // finish_overlaps: backtrack + overlap tests + anchor thinning +
 // k-mer divergence + primary selection for one chain-DP bucket batch
 // (behavioral port of reference: src/sequence/overlap.cpp:330-427 and
 // overlapTest overlap.cpp:29-69, batched over bucket rows).
 //
-// score/parent: int32[nrows * W]; per-row group data via gstart/glen
-// into the batch-global gcur/gext; per-row eid/elen/stride/qi/cid/clen;
-// per-QUERY sorted filtered positions (filt + foff, indexed by qi).
+// score/parent: flat int32 arrays; row r occupies [scoff[r],
+// scoff[r] + min(glen[r], W)) (device buckets pass scoff[r] = r*W,
+// the host DP passes its exact per-group offsets); per-row group data
+// via gstart/glen into the batch-global gcur/gext; per-row
+// eid/elen/stride/qi/cid/clen; per-QUERY sorted filtered positions
+// (filt + foff, indexed by qi).
 // flags bit0=check_overhang, bit1=force_local, bit2=symmetric,
 // bit3=only_max_ext, bit4=thin_anchors.
 // Returns (row_of(int32[V]), coords(int32[V*4]), score(int64[V]),
@@ -826,21 +1297,22 @@ static PyObject* chain_group_prep(PyObject*, PyObject* args) {
 // with overlaps of each row in primary-selection order.
 // ---------------------------------------------------------------------
 static PyObject* finish_overlaps(PyObject*, PyObject* args) {
-  Py_buffer sc_b, pa_b, gcur_b, gext_b, gstart_b, glen_b, eid_b, elen_b,
-      stride_b, qi_b, cid_b, clen_b, filt_b, foff_b;
+  Py_buffer sc_b, pa_b, scoff_b, gcur_b, gext_b, gstart_b, glen_b,
+      eid_b, elen_b, stride_b, qi_b, cid_b, clen_b, filt_b, foff_b;
   Py_ssize_t nrows;
   int W, k, min_overlap, max_overhang, flags;
   double sample_rate;
-  if (!PyArg_ParseTuple(args, "y*y*niy*y*y*y*y*y*y*y*y*y*y*y*iiiid",
-                        &sc_b, &pa_b, &nrows, &W, &gcur_b, &gext_b,
-                        &gstart_b, &glen_b, &eid_b, &elen_b, &stride_b,
-                        &qi_b, &cid_b, &clen_b, &filt_b, &foff_b, &k,
-                        &min_overlap, &max_overhang, &flags,
+  if (!PyArg_ParseTuple(args, "y*y*y*niy*y*y*y*y*y*y*y*y*y*y*y*iiiid",
+                        &sc_b, &pa_b, &scoff_b, &nrows, &W, &gcur_b,
+                        &gext_b, &gstart_b, &glen_b, &eid_b, &elen_b,
+                        &stride_b, &qi_b, &cid_b, &clen_b, &filt_b,
+                        &foff_b, &k, &min_overlap, &max_overhang, &flags,
                         &sample_rate)) {
     return nullptr;
   }
   const int32_t* score_m = static_cast<const int32_t*>(sc_b.buf);
   const int32_t* parent_m = static_cast<const int32_t*>(pa_b.buf);
+  const int64_t* scoffs = static_cast<const int64_t*>(scoff_b.buf);
   const int32_t* gcur = static_cast<const int32_t*>(gcur_b.buf);
   const int32_t* gext = static_cast<const int32_t*>(gext_b.buf);
   const int64_t* gstarts = static_cast<const int64_t*>(gstart_b.buf);
@@ -880,8 +1352,8 @@ static PyObject* finish_overlaps(PyObject*, PyObject* args) {
       const int64_t gs = gstarts[r];
       const int64_t n = std::min<int64_t>(glens[r], W);
       if (n == 0) continue;
-      const int32_t* score = score_m + (size_t)r * W;
-      parent.assign(parent_m + (size_t)r * W, parent_m + (size_t)r * W + n);
+      const int32_t* score = score_m + scoffs[r];
+      parent.assign(parent_m + scoffs[r], parent_m + scoffs[r] + n);
       const int32_t* gc = gcur + gs;
       const int32_t* gx = gext + gs;
       const int64_t cur_id = cids[r];
@@ -1065,9 +1537,9 @@ static PyObject* finish_overlaps(PyObject*, PyObject* args) {
       as_bytes(vdiv.data(), vdiv.size() * 8),
       as_bytes(aoff.data(), aoff.size() * 8),
       as_bytes(anchors.data(), anchors.size() * 4));
-  for (Py_buffer* pb : {&sc_b, &pa_b, &gcur_b, &gext_b, &gstart_b,
-                        &glen_b, &eid_b, &elen_b, &stride_b, &qi_b,
-                        &cid_b, &clen_b, &filt_b, &foff_b}) {
+  for (Py_buffer* pb : {&sc_b, &pa_b, &scoff_b, &gcur_b, &gext_b,
+                        &gstart_b, &glen_b, &eid_b, &elen_b, &stride_b,
+                        &qi_b, &cid_b, &clen_b, &filt_b, &foff_b}) {
     PyBuffer_Release(pb);
   }
   return r;
@@ -1088,6 +1560,14 @@ static PyMethodDef methods[] = {
      "Batched per-query match grouping + survival filters"},
     {"finish_overlaps", finish_overlaps, METH_VARARGS,
      "Backtrack + overlap tests + anchors + divergence per bucket"},
+    {"chain_dp_host", chain_dp_host, METH_VARARGS,
+     "Threaded full-window chaining DP for small match groups"},
+    {"collect_matches", collect_matches, METH_VARARGS,
+     "Posting-list expansion + strand transform for probed reads"},
+    {"probe_stream", probe_stream, METH_VARARGS,
+     "Rolling canonical k-mer probe of the sorted index table"},
+    {"extract_kmers", extract_kmers, METH_VARARGS,
+     "Rolling canonical k-mer extraction with per-read sampling"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT,

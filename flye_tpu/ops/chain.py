@@ -62,6 +62,41 @@ def chain_dp(cur: jax.Array, ext: jax.Array, nvalid: jax.Array,
     return _chain_dp_scan(cur, ext, nvalid, k, max_jump, lookback)
 
 
+def chain_dp_multi(buckets, k: int, max_jump: int, lookback: int):
+    """Chain DP over SEVERAL padded bucket batches in ONE device
+    program: a single dispatch + a single flattened fetch, instead of
+    one round trip per bucket shape.  On the remote-tunnel deployment
+    every separate dispatch/fetch pays ~0.4-0.9 s of latency, and a
+    typical overlap batch carries ~5 bucket shapes — this is the
+    difference between ~5 s and ~1 s of DP wall per batch
+    (reference analog: the chaining loop runs inline per thread,
+    overlap.cpp:277-323, so it has no per-call cost to amortize).
+
+    buckets: sequence of (cur [T,M] int32, ext, nvalid [T]) with static
+    shapes.  Returns one flat int32 array laid out as, per bucket,
+    [score rows..., parent rows...]; callers slice by the known shapes.
+    """
+    return _chain_dp_multi(tuple(tuple(b) for b in buckets),
+                           k=int(k), max_jump=int(max_jump),
+                           lookback=int(lookback))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_jump", "lookback"))
+def _chain_dp_multi(buckets, k: int, max_jump: int, lookback: int):
+    on_tpu = jax.default_backend() == "tpu"
+    outs = []
+    for cur, ext, nv in buckets:
+        L = min(lookback, cur.shape[1])
+        if on_tpu:
+            from flye_tpu.ops.chain_pallas import chain_dp_pallas
+            s, p = chain_dp_pallas(cur, ext, nv, k, max_jump, L)
+        else:
+            s, p = _chain_dp_scan(cur, ext, nv, k, max_jump, L)
+        outs.append(s.astype(jnp.int32).reshape(-1))
+        outs.append(p.astype(jnp.int32).reshape(-1))
+    return jnp.concatenate(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_jump", "lookback"))
 def _chain_dp_scan(cur: jax.Array, ext: jax.Array, nvalid: jax.Array,
                    k: int, max_jump: int, lookback: int):

@@ -41,6 +41,15 @@ from time import perf_counter as _pc
 
 _PHASE: Dict[str, float] = _dd(float)
 
+# the prefetch thread pipeline may issue device calls from two threads;
+# the remote-tunnel PJRT client is not trusted to be thread-safe, so
+# all device dispatch/fetch sections take this lock (host prep/finish
+# still overlaps: the lock holder releases the GIL inside the tunnel
+# wait, and native C++ sections release it explicitly)
+import threading as _threading
+
+_DEVICE_LOCK = _threading.Lock()
+
 
 def phase_times() -> Dict[str, float]:
     return dict(_PHASE)
@@ -108,6 +117,11 @@ class OverlapEngine:
         self.partition_bad_mappings = partition_bad_mappings
         self.use_hpc = use_hpc
         self.max_cur_overlaps = max_cur_overlaps
+        # groups with at most this many matches chain on the host
+        # (threaded native full-window DP, bit-identical to the device
+        # kernel's bounded window because host_dp_max <= lookback);
+        # wider groups run the Pallas kernel.  See _batch_fast.
+        self.host_dp_max = min(1024, _LOOKBACK)
         # mapping mode keeps every chain anchor (needed for window
         # partitioning); assembly thins to >k spacing like the
         # reference's kept-alignment trace
@@ -126,7 +140,7 @@ class OverlapEngine:
         whole batch at once. Yields per-sid match tuples."""
         sids = list(sids)
         lengths = [query_store.length(s) for s in sids]
-        with _phase("probe"):
+        with _phase("probe"), _DEVICE_LOCK:
             g_hit, row_hit, fwd_hit, g_rep, starts, _ = (
                 self.index.probe_stream_flat(query_store, sids))
 
@@ -230,15 +244,14 @@ class OverlapEngine:
         parallelizes the same loop over threads,
         reference: overlap.cpp:630-668)."""
         symmetric = query_store is self.targets
-        per_sid = self._collect_matches_batch(query_store, sids,
-                                              symmetric)
-
         from flye_tpu import native
         mod = native.get()
         if mod is not None:
-            return self._batch_fast(mod, query_store, per_sid,
+            return self._batch_fast(mod, query_store, list(sids),
                                     force_local, max_overlaps, symmetric)
 
+        per_sid = self._collect_matches_batch(query_store, sids,
+                                              symmetric)
         # ---- pure-Python fallback (native module unavailable) ----
         # collect chain groups across all queries; the per-(read, ext)
         # filters run vectorized over ALL groups of a read at once
@@ -362,40 +375,66 @@ class OverlapEngine:
 
     # ------------------------------------------------------------------
 
-    def _batch_fast(self, mod, query_store, per_sid, force_local,
+    def _batch_fast(self, mod, query_store, sids, force_local,
                     max_overlaps, symmetric):
-        """Native-assisted batch path: group segmentation / survival
-        filters / per-group prep run in C++ threads
-        (native chain_group_prep), the chain DP on device, and the
-        backtrack + overlap tests + anchor thinning + divergence in C++
-        (native finish_overlaps).  Byte-identical to the Python path
-        (tests/test_overlap_native.py); replaces the per-group Python
-        loops that dominated the ava phase's host wall
+        """Native-assisted batch path: the device probes the index
+        over the flat query stream; posting expansion, group
+        segmentation / survival filters, small-group chain DP, and the
+        backtrack + overlap tests + anchor thinning + divergence all
+        run in C++ threads (native collect_matches / chain_group_prep /
+        chain_dp_host / finish_overlaps); only wide groups' DP rides
+        the device.  Byte-identical to the pure-Python path
+        (tests/test_overlap_native.py); replaces the numpy/Python loops
+        that dominated the ava phase's host wall
         (reference analog: src/sequence/overlap.cpp:99-427, whose
         inner loops are C++ for the same reason)."""
-        nq = len(per_sid)
-        query_meta = [(sid, cur_len, filtered_pos)
-                      for sid, _, _, _, filtered_pos, cur_len in per_sid]
-        results: Dict[int, List[Overlap]] = {sid: [] for sid, _, _ in
-                                             query_meta}
+        nq = len(sids)
+        results: Dict[int, List[Overlap]] = {sid: [] for sid in sids}
         if nq == 0:
             return results
-        qpos_all = np.concatenate([t[1] for t in per_sid])
-        ext_all = np.concatenate([t[2] for t in per_sid])
-        extpos_all = np.concatenate([t[3] for t in per_sid])
-        qb = np.zeros(nq + 1, dtype=np.int64)
-        np.cumsum([len(t[1]) for t in per_sid], out=qb[1:])
-        curlens = np.asarray([t[5] for t in per_sid], dtype=np.int32)
+        lengths = [query_store.length(s) for s in sids]
+        with _phase("probe"):
+            probe_res = self.index.probe_stream_host(query_store, sids)
+        if probe_res is None:  # sharded (mesh) index: device probe
+            with _phase("probe"), _DEVICE_LOCK:
+                probe_res = self.index.probe_stream_flat(query_store,
+                                                         sids)
+        g_hit, row_hit, fwd_hit, g_rep, starts, _ = probe_res
+        query_meta = list(zip(sids, lengths))
+        # per-query filtered (repetitive-kmer) positions: g_rep is
+        # ascending in stream order, so per-query slices stay sorted
+        rep_qi = np.searchsorted(starts, g_rep, side="right") - 1
+        filt = np.ascontiguousarray(
+            (g_rep - starts[rep_qi]), dtype=np.int64)
+        foff = np.searchsorted(rep_qi, np.arange(nq + 1)).astype(
+            np.int64)
+        curlens = np.asarray(lengths, dtype=np.int32)
         tlens = np.ascontiguousarray(self._target_lengths,
                                      dtype=np.int64)
+        with _phase("gather"):
+            qpos_b, extid_b, extpos_b, qb_b = mod.collect_matches(
+                np.ascontiguousarray(g_hit, dtype=np.int64),
+                np.ascontiguousarray(row_hit, dtype=np.int64),
+                np.ascontiguousarray(fwd_hit).view(np.uint8),
+                np.ascontiguousarray(self.index.counts,
+                                     dtype=np.int32),
+                np.ascontiguousarray(self.index.offsets,
+                                     dtype=np.int64),
+                np.ascontiguousarray(self.index.post_seq,
+                                     dtype=np.int32),
+                np.ascontiguousarray(self.index.post_pos,
+                                     dtype=np.int32),
+                np.ascontiguousarray(self.index.post_flip).view(
+                    np.uint8),
+                tlens, np.ascontiguousarray(starts, dtype=np.int64),
+                np.asarray(sids, dtype=np.int64),
+                len(g_hit), nq, int(self.k), int(symmetric))
         min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
         with _phase("prep"):
             (qi_b, eid_b, elen_b, stride_b, goff_b, gcur_b, gext_b) = \
                 mod.chain_group_prep(
-                    np.ascontiguousarray(qpos_all, dtype=np.int32),
-                    np.ascontiguousarray(ext_all, dtype=np.int64),
-                    np.ascontiguousarray(extpos_all, dtype=np.int32),
-                    qb, curlens, tlens, nq, float(min_surv),
+                    qpos_b, extid_b, extpos_b,
+                    qb_b, curlens, tlens, nq, float(min_surv),
                     int(self.min_overlap), int(self.max_overhang),
                     int(self.check_overhang and not force_local),
                     int(_CHAIN_BUCKETS[-1]), int(max_overlaps))
@@ -411,14 +450,7 @@ class OverlapEngine:
             return results
         glens = np.diff(goff)
 
-        # per-query sorted filtered positions, concatenated
-        foff = np.zeros(nq + 1, dtype=np.int64)
-        np.cumsum([len(t[4]) for t in per_sid], out=foff[1:])
-        filt = (np.concatenate([t[4] for t in per_sid])
-                if foff[-1] else np.zeros(0, dtype=np.int64))
-        filt = np.ascontiguousarray(filt, dtype=np.int64)
-        g_cid = np.asarray([query_meta[qi][0] for qi in g_qi],
-                           dtype=np.int64)
+        g_cid = np.asarray(sids, dtype=np.int64)[g_qi]
         g_clen = curlens[g_qi].astype(np.int32)
 
         flags = (1 * (self.check_overhang and not force_local)
@@ -427,28 +459,35 @@ class OverlapEngine:
                  | 8 * bool(self.only_max_ext)
                  | 16 * bool(self.thin_anchors))
 
-        # overlaps per group, filled bucket by bucket
+        # overlaps per group.  Small groups (the vast majority) run
+        # their full-window chain DP in threaded native code: on the
+        # remote-tunnel deployment a device dispatch costs ~0.4-0.9 s of
+        # latency for microseconds of VPU work, so tiny DPs are
+        # latency-bound on device and compute-bound (cheap) on host.
+        # Groups wider than host_dp_max keep the Pallas kernel, where
+        # the quadratic window actually earns the transfer.  For groups
+        # <= the device lookback window the two are bit-identical
+        # (full window == bounded window); host_dp_max must not exceed
+        # the engine lookback for that to hold.
         per_group: List[Optional[tuple]] = [None] * G
-        for gids, W, score_mat, parent_mat in self._run_chain_dp_buckets(
-                goff, glens, gcur, gext):
-            gids_arr = np.asarray(gids, dtype=np.int64)
+
+        def finish_rows(gids_arr, score_flat, parent_flat, scoff, W):
             with _phase("finish"):
-                (row_of_b, coords_b, score_b, div_b, aoff_b, anchors_b) = \
-                    mod.finish_overlaps(
-                        np.ascontiguousarray(score_mat),
-                        np.ascontiguousarray(parent_mat),
-                        len(gids), int(W), gcur, gext,
-                        np.ascontiguousarray(goff[gids_arr]),
-                        np.ascontiguousarray(glens[gids_arr]),
-                        np.ascontiguousarray(g_eid[gids_arr]),
-                        np.ascontiguousarray(g_elen[gids_arr]),
-                        np.ascontiguousarray(g_stride[gids_arr]),
-                        np.ascontiguousarray(g_qi[gids_arr]),
-                        np.ascontiguousarray(g_cid[gids_arr]),
-                        np.ascontiguousarray(g_clen[gids_arr]),
-                        filt, foff, int(self.k), int(self.min_overlap),
-                        int(self.max_overhang), int(flags),
-                        float(self.index.sample_rate))
+                (row_of_b, coords_b, score_b, div_b, aoff_b,
+                 anchors_b) = mod.finish_overlaps(
+                    score_flat, parent_flat, scoff, len(gids_arr),
+                    int(W), gcur, gext,
+                    np.ascontiguousarray(goff[gids_arr]),
+                    np.ascontiguousarray(glens[gids_arr]),
+                    np.ascontiguousarray(g_eid[gids_arr]),
+                    np.ascontiguousarray(g_elen[gids_arr]),
+                    np.ascontiguousarray(g_stride[gids_arr]),
+                    np.ascontiguousarray(g_qi[gids_arr]),
+                    np.ascontiguousarray(g_cid[gids_arr]),
+                    np.ascontiguousarray(g_clen[gids_arr]),
+                    filt, foff, int(self.k), int(self.min_overlap),
+                    int(self.max_overhang), int(flags),
+                    float(self.index.sample_rate))
             row_of = np.frombuffer(row_of_b, dtype=np.int32)
             coords = np.frombuffer(coords_b, dtype=np.int32) \
                 .reshape(-1, 4)
@@ -458,13 +497,37 @@ class OverlapEngine:
             anchors = np.frombuffer(anchors_b, dtype=np.int32) \
                 .reshape(-1, 2).astype(np.int64)
             # split per row (row_of ascending)
-            starts_r = np.searchsorted(row_of, np.arange(len(gids) + 1))
-            for r, gi in enumerate(gids):
+            starts_r = np.searchsorted(row_of,
+                                       np.arange(len(gids_arr) + 1))
+            for r, gi in enumerate(gids_arr):
                 s, e = starts_r[r], starts_r[r + 1]
                 if s < e:
-                    per_group[gi] = (coords[s:e], vscore[s:e], vdiv[s:e],
+                    per_group[gi] = (coords[s:e], vscore[s:e],
+                                     vdiv[s:e],
                                      [anchors[aoff[v]:aoff[v + 1]]
                                       for v in range(s, e)])
+
+        host_gids = np.flatnonzero(glens <= self.host_dp_max)
+        dev_gids = np.flatnonzero(glens > self.host_dp_max)
+        if len(host_gids):
+            with _phase("dp_host"):
+                scoff_b, hs_b, hp_b = mod.chain_dp_host(
+                    gcur, gext, np.ascontiguousarray(goff[host_gids]),
+                    np.ascontiguousarray(glens[host_gids]),
+                    len(host_gids), int(self.k), int(self.max_jump))
+            # scoff_b has n+1 entries (prefix sums); the finisher only
+            # reads the first n
+            finish_rows(host_gids, hs_b, hp_b, scoff_b,
+                        max(int(self.host_dp_max), 1))
+        for gids, W, score_mat, parent_mat in self._run_chain_dp_buckets(
+                goff, glens, gcur, gext, dev_gids):
+            gids_arr = np.asarray(gids, dtype=np.int64)
+            nrows = len(gids)
+            scoff = (np.arange(nrows, dtype=np.int64) * W)
+            finish_rows(gids_arr,
+                        np.ascontiguousarray(score_mat),
+                        np.ascontiguousarray(parent_mat),
+                        scoff, int(W))
 
         # assemble Overlap objects in original group order (determinism
         # + the max_overlaps economy both depend on this order)
@@ -476,7 +539,7 @@ class OverlapEngine:
             if entry is None:
                 continue
             qi = int(g_qi[gi])
-            sid, cur_len, _ = query_meta[qi]
+            sid, cur_len = query_meta[qi]
             detected = results[sid]
             if max_overlaps and len(detected) >= max_overlaps:
                 continue
@@ -515,23 +578,29 @@ class OverlapEngine:
                 self.div_stats.append(ov.divergence)
         return results
 
-    def _run_chain_dp_buckets(self, goff, glens, gcur, gext):
+    def _run_chain_dp_buckets(self, goff, glens, gcur, gext,
+                              gids_subset=None):
         """Bucketed device chain DP over array-form groups; yields
         (gids, W, score_mat, parent_mat) per bucket batch."""
         by_bucket: Dict[int, List[int]] = {}
-        for gi, m in enumerate(glens):
+        gi_iter = (enumerate(glens) if gids_subset is None
+                   else ((int(gi), glens[gi]) for gi in gids_subset))
+        for gi, m in gi_iter:
             bucket = next((b for b in _CHAIN_BUCKETS if m <= b),
                           _CHAIN_BUCKETS[-1])
             by_bucket.setdefault(bucket, []).append(gi)
+        if not by_bucket:
+            return
         t_buckets = (8, 32, 128, 512, 2048)
-        # dispatch every bucket first (JAX dispatch is async), then
-        # fetch: compute of bucket N overlaps the fetch of bucket N-1,
-        # collapsing ~5 blocking tunnel round trips per batch into ~1
+        # all buckets go out in ONE fused device program
+        # (ops/chain.chain_dp_multi): a single dispatch and a single
+        # flattened fetch per batch, instead of a ~0.4-0.9 s tunnel
+        # round trip per bucket shape
         from flye_tpu.parallel.runtime import get_runtime
-        import jax.numpy as jnp
-        pend = []
-        with _phase("dp"):
-            for bucket, gids in by_bucket.items():
+        bucket_specs = []
+        with _phase("dp"), _DEVICE_LOCK:
+            for bucket in sorted(by_bucket):
+                gids = by_bucket[bucket]
                 T = next((t for t in t_buckets if len(gids) <= t),
                          len(gids))
                 cur = np.zeros((T, bucket), dtype=np.int32)
@@ -543,19 +612,21 @@ class OverlapEngine:
                     cur[r, :m] = gcur[s:s + m]
                     ext[r, :m] = gext[s:s + m]
                     nv[r] = m
-                curd, extd, nvd = get_runtime().shard_rows(cur, ext, nv)
-                score, parent = chain_dp(curd, extd, nvd, self.k,
-                                         self.max_jump,
-                                         lookback=min(_LOOKBACK, bucket))
-                pend.append((gids, bucket,
-                             jnp.stack([score[:len(gids)],
-                                        parent[:len(gids)]])))
-        for gids, bucket, both_dev in pend:
-            with _phase("dp"):
-                both = np.asarray(both_dev)
-            # the native finisher reads int32 rows
-            yield (gids, bucket, both[0].astype(np.int32, copy=False),
-                   both[1].astype(np.int32, copy=False))
+                bucket_specs.append(
+                    (gids, bucket, T,
+                     get_runtime().shard_rows(cur, ext, nv)))
+            from flye_tpu.ops.chain import chain_dp_multi
+            flat = np.asarray(chain_dp_multi(
+                [arrs for _, _, _, arrs in bucket_specs],
+                self.k, self.max_jump, _LOOKBACK))
+        off = 0
+        for gids, bucket, T, _ in bucket_specs:
+            n = T * bucket
+            score = flat[off:off + n].reshape(T, bucket)
+            off += n
+            parent = flat[off:off + n].reshape(T, bucket)
+            off += n
+            yield (gids, bucket, score[:len(gids)], parent[:len(gids)])
 
     def _run_chain_dp(self, groups):
         """Pad groups into per-bucket batches and run the device DP."""
@@ -767,7 +838,7 @@ class OverlapStore:
             self._cache[fwd_id] = entry
         return entry[0] if sid % 2 == 0 else entry[1]
 
-    def prefetch(self, sids, batch_rows: int = 128,
+    def prefetch(self, sids, batch_rows: int = 1024,
                  max_batch_bases: int = 8 << 20,
                  progress_every: int = 0) -> None:
         """Batch-fill the overlap cache (cross-read device batching).

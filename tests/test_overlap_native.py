@@ -73,3 +73,59 @@ def test_native_batch_max_overlaps_cap(noisy_store, monkeypatch):
     monkeypatch.undo()
     assert _as_tuples(res_nat) == _as_tuples(res_py)
     assert all(len(v) <= 3 + 1 for v in res_nat.values())
+
+
+def test_native_device_bucket_path(noisy_store, monkeypatch):
+    """Forcing a tiny host_dp_max pushes groups through the bucketed
+    device-DP path; results must still match the Python fallback (which
+    always uses the bucketed device DP)."""
+    store = noisy_store
+    sids = store.ids()[:16]
+    eng_nat = _engine(store, only_max_ext=True)
+    eng_nat.host_dp_max = 16  # almost everything -> device buckets
+    res_nat = eng_nat.get_overlaps_batch(store, sids)
+    eng_py = _engine(store, only_max_ext=True)
+    monkeypatch.setattr(native, "get", lambda: None)
+    res_py = eng_py.get_overlaps_batch(store, sids)
+    monkeypatch.undo()
+    assert _as_tuples(res_nat) == _as_tuples(res_py)
+
+
+def test_chain_dp_host_matches_scan():
+    """chain_dp_host must be bit-identical to the device scan oracle
+    for groups within the lookback window."""
+    import numpy as np
+
+    from flye_tpu.ops.chain import _chain_dp_scan
+
+    mod = native.get()
+    rng = np.random.default_rng(3)
+    k, max_jump = 15, 1500
+    glens = [1, 2, 7, 33, 200]
+    gcur_l, gext_l = [], []
+    for m in glens:
+        c = np.sort(rng.integers(0, 20000, m)).astype(np.int32)
+        e = (c + 300 + rng.integers(-200, 200, m)).astype(np.int32)
+        gcur_l.append(c)
+        gext_l.append(e)
+    gcur = np.concatenate(gcur_l)
+    gext = np.concatenate(gext_l)
+    gstart = np.zeros(len(glens), np.int64)
+    gstart[1:] = np.cumsum(glens)[:-1]
+    scoff_b, hs_b, hp_b = mod.chain_dp_host(
+        gcur, gext, gstart, np.asarray(glens, np.int64), len(glens),
+        k, max_jump)
+    hs = np.frombuffer(hs_b, np.int32)
+    hp = np.frombuffer(hp_b, np.int32)
+    scoff = np.frombuffer(scoff_b, np.int64)
+    for i, m in enumerate(glens):
+        cur = np.zeros((1, m), np.int32)
+        ext = np.zeros((1, m), np.int32)
+        cur[0] = gcur_l[i]
+        ext[0] = gext_l[i]
+        s, p = _chain_dp_scan(cur, ext, np.asarray([m], np.int32),
+                              k, max_jump, m)
+        np.testing.assert_array_equal(np.asarray(s)[0],
+                                      hs[scoff[i]:scoff[i] + m])
+        np.testing.assert_array_equal(np.asarray(p)[0],
+                                      hp[scoff[i]:scoff[i] + m])

@@ -45,9 +45,18 @@ def build_read_index(store: SequenceStore, cfg: Config) -> KmerIndex:
 
 def assemble_disjointigs(store: SequenceStore, cfg: Config,
                          min_overlap: Optional[int] = None,
-                         genome_size: Optional[int] = None
-                         ) -> List[Tuple[str, np.ndarray]]:
-    """Full assemble stage: returns (name, codes) disjointigs."""
+                         genome_size: Optional[int] = None,
+                         work_dir: Optional[str] = None
+                         ) -> Optional[List[Tuple[str, np.ndarray]]]:
+    """Full assemble stage: returns (name, codes) disjointigs.
+
+    Multi-host (process_count > 1): every process builds the same index
+    and computes overlaps for ITS host_partition of the reads; shards
+    are exchanged through `work_dir` on the shared filesystem and the
+    coordinator merges them before the (sequential) extension walk.
+    Worker processes return None after contributing their shard
+    (SURVEY §2.3(c): per-host read streaming; §7: graph/extension phase
+    on the coordinator)."""
     min_overlap = min_overlap or cfg.min_overlap
 
     # maxCurOverlaps economy: bound per-read overlap collection at
@@ -106,8 +115,40 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         max_inner_fraction=cfg.max_inner_fraction,
         add_unassembled_reads=bool(cfg.add_unassembled_reads))
 
-    with stage_timer("overlap prefetch"):
-        ovlp_store.prefetch(store.ids(), progress_every=1000)
+    from flye_tpu.parallel.runtime import get_runtime
+    rt = get_runtime()
+    if rt.process_count > 1:
+        import os
+
+        from flye_tpu.parallel.distributed import (host_partition,
+                                                   is_coordinator)
+        if work_dir is None:
+            raise ValueError("multi-host run needs a shared work_dir "
+                             "for the ava shard exchange")
+        with stage_timer("overlap prefetch (host shard)"):
+            mine = host_partition(store.ids(), rt.process_index,
+                                  rt.process_count)
+            logger.info("host %d/%d: computing overlaps for %d of %d "
+                        "reads", rt.process_index, rt.process_count,
+                        len(mine), len(store.ids()))
+            ovlp_store.prefetch(mine, progress_every=1000)
+            if not is_coordinator():
+                ovlp_store.dump_shard(os.path.join(
+                    work_dir, f"ava_shard_{rt.process_index}.npz"))
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("flye_tpu_ava_shards")
+        if not is_coordinator():
+            logger.info("host %d: ava shard contributed; the "
+                        "coordinator carries the host-plane stages",
+                        rt.process_index)
+            return None
+        with stage_timer("ava shard merge"):
+            for p in range(1, rt.process_count):
+                ovlp_store.load_shard(os.path.join(
+                    work_dir, f"ava_shard_{p}.npz"))
+    else:
+        with stage_timer("overlap prefetch"):
+            ovlp_store.prefetch(store.ids(), progress_every=1000)
     with stage_timer("disjointig extension"):
         extender.assemble_disjointigs()
 

@@ -156,9 +156,12 @@ class JobAssembly(Job):
                 if reads.length(sid) >= self.ctx.min_read_length:
                     filtered.add(reads.name(sid), reads.get(sid))
             reads = filtered
-        disjointigs = assemble_disjointigs(reads, self.ctx.cfg,
-                                           self.ctx.min_overlap,
-                                           self.ctx.genome_size)
+        disjointigs = assemble_disjointigs(
+            reads, self.ctx.cfg, self.ctx.min_overlap,
+            self.ctx.genome_size,
+            work_dir=self.ctx.subdir("00-assembly"))
+        if disjointigs is None:
+            return  # multi-host worker: shard contributed, done
         if not disjointigs:
             raise PipelineException(
                 "No disjointigs were assembled - please check if the "
@@ -519,13 +522,23 @@ def run_pipeline(args) -> int:
         if start_from > 0:
             jobs[0].run()
 
+    from flye_tpu.parallel.runtime import get_runtime
+    rt = get_runtime()
+    coordinator = rt.process_index == 0
     for i, job in enumerate(jobs):
         if i < start_from:
             job.load_state()
             continue
-        job.save_checkpoint()
+        if coordinator:  # workers must not race the checkpoint file
+            job.save_checkpoint()
         logger.info(">>> STAGE: %s", job.name)
         job.run()
+        if not coordinator and job.name == "assembly":
+            # multi-host worker processes contribute the data-parallel
+            # ava shard and stop; the coordinator runs the host-plane
+            # stages (SURVEY §7: graph phase on host 0)
+            logger.info("worker process %d finished", rt.process_index)
+            return 0
         if args.stop_after == job.name:
             logger.info("Stopped after stage '%s'", job.name)
             return 0

@@ -27,9 +27,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG = jnp.int32(-(2 ** 30))
-_I0 = jnp.int32(0)
+_NEG = np.int32(-(2 ** 30))  # np scalar: no backend init at import
+_I0 = np.int32(0)
 
 
 def chain_dp(cur: jax.Array, ext: jax.Array, nvalid: jax.Array,

@@ -19,11 +19,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAX_K = 31
 # sentinel hash for invalid positions: max uint64 so they never win a
 # window minimum
-_INVALID_HASH = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_INVALID_HASH = np.uint64(0xFFFFFFFFFFFFFFFF)  # np scalar: no backend init at import
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -35,8 +35,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG = jnp.float32(-1e30)
+NEG = np.float32(-1e30)  # np scalar: no backend init at import
 
 
 def _score_edits_raw_jnp(cand, cand_len, branches, blen, bmask, subs):

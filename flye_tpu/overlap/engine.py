@@ -494,8 +494,10 @@ class OverlapEngine:
             vscore = np.frombuffer(score_b, dtype=np.int64)
             vdiv = np.frombuffer(div_b, dtype=np.float64)
             aoff = np.frombuffer(aoff_b, dtype=np.int64)
+            # int32 anchors: at 50x coverage the anchor traces are
+            # the cache's dominant per-overlap memory
             anchors = np.frombuffer(anchors_b, dtype=np.int32) \
-                .reshape(-1, 2).astype(np.int64)
+                .reshape(-1, 2)
             # split per row (row_of ascending)
             starts_r = np.searchsorted(row_of,
                                        np.arange(len(gids_arr) + 1))
@@ -1073,6 +1075,70 @@ class OverlapStore:
             (self.mean_true_divergence if relative else 0.0) + threshold)
         logger.debug("Max divergence threshold set to %.4f",
                      self.engine.max_divergence)
+
+    def dump_shard(self, path: str) -> None:
+        """Serialize this process's overlap-cache partition to one npz
+        (the multi-host ava exchange: each host computes overlaps for
+        its read partition and ships the shard over the shared
+        filesystem — the per-host generalization of the reference's
+        inter-stage file bus, e.g. its alignment dumps,
+        reference: src/repeat_graph/read_aligner.h:32-33)."""
+        reads = sorted(self._cache.keys())
+        counts = []
+        cur_id, ext_id = [], []
+        coords = []
+        score, div = [], []
+        aoff = [0]
+        anchors = []
+        for fwd in reads:
+            ovlps = self._cache[fwd][0]
+            counts.append(len(ovlps))
+            for o in ovlps:
+                cur_id.append(o.cur_id)
+                ext_id.append(o.ext_id)
+                coords.append((o.cur_begin, o.cur_end, o.cur_len,
+                               o.ext_begin, o.ext_end, o.ext_len))
+                score.append(o.score)
+                div.append(o.divergence)
+                km = (o.kmer_matches if o.kmer_matches is not None
+                      else np.zeros((0, 2), np.int32))
+                anchors.append(np.asarray(km, dtype=np.int32))
+                aoff.append(aoff[-1] + len(km))
+        np.savez_compressed(
+            path, reads=np.asarray(reads, np.int64),
+            counts=np.asarray(counts, np.int64),
+            cur_id=np.asarray(cur_id, np.int64),
+            ext_id=np.asarray(ext_id, np.int64),
+            coords=np.asarray(coords, np.int64).reshape(-1, 6),
+            score=np.asarray(score, np.int64),
+            div=np.asarray(div, np.float64),
+            aoff=np.asarray(aoff, np.int64),
+            anchors=(np.concatenate(anchors) if anchors
+                     else np.zeros((0, 2), np.int32)))
+
+    def load_shard(self, path: str) -> None:
+        """Merge a dumped shard into the cache (complement lists are
+        rebuilt, exactly as prefetch builds them)."""
+        z = np.load(path)
+        reads = z["reads"]
+        counts = z["counts"]
+        coords = z["coords"]
+        aoff = z["aoff"]
+        anchors = z["anchors"]
+        v = 0
+        for fwd, n in zip(reads, counts):
+            ovlps = []
+            for _ in range(n):
+                ov = Overlap(int(z["cur_id"][v]), int(z["ext_id"][v]),
+                             *(int(x) for x in coords[v]),
+                             score=int(z["score"][v]),
+                             divergence=float(z["div"][v]))
+                km = anchors[aoff[v]:aoff[v + 1]]
+                ov.kmer_matches = km if len(km) else None
+                ovlps.append(ov)
+                v += 1
+            self._cache[int(fwd)] = (ovlps,
+                                     [o.complement() for o in ovlps])
 
     def all_overlaps(self) -> List[Overlap]:
         out = []

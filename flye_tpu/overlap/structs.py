@@ -17,7 +17,7 @@ import numpy as np
 from flye_tpu.io.seqstore import SeqId
 
 
-@dataclass
+@dataclass(slots=True)
 class Overlap:
     cur_id: int
     ext_id: int

@@ -87,13 +87,35 @@ def init_runtime(n_shards: Optional[int] = None) -> ParallelContext:
     global _runtime
     pidx, pcount = init_distributed()
     import jax
-    n = n_shards or jax.device_count()
-    mesh = make_mesh(n, axes=("data",)) if n > 1 else None
+    if pcount > 1:
+        # multi-process mode: parallelism across processes is at the
+        # READ-PARTITION level (host_partition + shard exchange, see
+        # assemble/driver.py); each process keeps a LOCAL device mesh so
+        # its kernels never wait on lockstep collectives with peers
+        # running different read partitions (and the coordinator can
+        # keep computing after workers exit).  jax.distributed still
+        # provides the topology and the explicit barriers.
+        n = n_shards or jax.local_device_count()
+        mesh = (make_mesh_local(n, axes=("data",)) if n > 1 else None)
+    else:
+        n = n_shards or jax.device_count()
+        mesh = make_mesh(n, axes=("data",)) if n > 1 else None
     _runtime = ParallelContext(mesh, pidx, pcount)
-    if mesh is not None:
-        logger.info("Parallel runtime: %d devices (%s), %d process(es)",
-                    n, jax.devices()[0].platform, pcount)
+    if mesh is not None or pcount > 1:
+        logger.info("Parallel runtime: %d device(s) in the local mesh "
+                    "(%s), %d process(es)", n,
+                    jax.local_devices()[0].platform, pcount)
     return _runtime
+
+
+def make_mesh_local(n_devices=None, axes=("data",)):
+    """A mesh over this process's local devices only."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    devices = jax.local_devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), axes)
 
 
 def get_runtime() -> ParallelContext:

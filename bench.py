@@ -65,12 +65,36 @@ def bench_polish(B=512, reps=2, max_iters=48):
     out = polish_bubbles(*args, subs, max_iters=max_iters)  # compile
     jax.block_until_ready(out)
     times = []
+    iters_total = 0
     for rep in range(reps):
         args = make_polish_workload(B, seed=rep)
         t0 = time.perf_counter()
         out = polish_bubbles(*args, subs, max_iters=max_iters)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+        iters_total = int(np.asarray(out[3]).sum())
+
+    # --- roofline attribution (VPU-bound kernel) ---
+    # per bubble-iteration the fused kernels sweep the forward +
+    # backward DP and the 4-character del/ins/sub scoring over
+    # (C+1) rows x R branches x W lanes; each row costs ~2 passes of
+    # add+max for the DP transitions, ~2*log2(W) shift-max passes for
+    # the in-row gap dependency (twice: F and B), and ~6 passes per
+    # scored character class.  Model: OPS_PER_CELL elementwise f32 ops
+    # per (row, branch, lane) cell per iteration.
+    C, R, W = 120, 16, 256  # bench workload, W = S+1 padded to lanes
+    ops_per_cell = 2 * (2 + 2 * np.log2(W)) + 26
+    cells = (C + 1) * R * W
+    ops = iters_total * cells * ops_per_cell
+    gops = ops / min(times) / 1e9
+    # v5e VPU peak for elementwise f32: 8x128 lanes x 4 subunits x
+    # ~0.94 GHz ~= 3.8 Tops/s (the MXU's 197 bf16 TFLOPS does not apply
+    # — edit-DP max/add chains are not matmuls).  MFU here = fraction
+    # of VPU elementwise peak.
+    vpu_peak = 3.8e12
+    print(f"polish roofline: {iters_total} bubble-iters/rep, "
+          f"{gops:.0f} Gops/s modeled = {gops * 1e9 / vpu_peak:.1%} of "
+          f"~3.8 Tops/s VPU elementwise peak", file=sys.stderr)
     return B / min(times)
 
 

@@ -18,7 +18,8 @@ from flye_tpu.assemble.chimera import ChimeraDetector
 from flye_tpu.assemble.extender import Extender
 from flye_tpu.assemble.stitch import generate_disjointig_sequences
 from flye_tpu.config import Config
-from flye_tpu.index import KmerIndex, build_minimizer_index
+from flye_tpu.index import (KmerIndex, build_minimizer_index,
+                            build_solid_index)
 from flye_tpu.io.seqstore import SequenceStore
 from flye_tpu.overlap import OverlapEngine, OverlapStore
 from flye_tpu.utils.logs import stage_timer
@@ -34,7 +35,7 @@ def build_read_index(store: SequenceStore, cfg: Config) -> KmerIndex:
         return build_minimizer_index(
             store, k, cfg.minimizer_window, min_cov=1,
             repeat_kmer_rate=cfg.repeat_kmer_rate)
-    return KmerIndex.build_solid(
+    return build_solid_index(
         store, k,
         select_rate=cfg.meta_read_top_kmer_rate,
         tandem_freq=cfg.meta_read_filter_kmer_freq,

@@ -468,11 +468,30 @@ class KmerIndex:
                 logger.warning("device solid-kmer selection failed "
                                "(%s); falling back to host counting", e)
         # pass A: global canonical-kmer counts (sampled)
-        kmers, seq, pos, flip = idx._extract_selected(ids, w=1, sample=sample)
+        kmers, seq, pos, flip = idx._solid_select_host(
+            ids, select_rate, tandem_freq, global_min_freq, sample)
         if len(kmers) == 0:
             idx._finalize(kmers, seq, pos, flip, global_min_freq,
                           repeat_kmer_rate)
             return idx
+        kmers, seq, pos, flip = cls._sort_triples(kmers, seq, pos, flip)
+        idx._finalize(kmers, seq, pos, flip, global_min_freq,
+                      repeat_kmer_rate)
+        total_len = sum(store.length(i) for i in ids)
+        total_entries = int(idx.counts.sum()) if len(idx.counts) else 1
+        idx.sample_rate = total_len / max(1, total_entries)
+        return idx
+
+    def _solid_select_host(self, ids, select_rate, tandem_freq,
+                           global_min_freq, sample):
+        """Host counting + per-read frequency selection for the solid
+        index; returns the selected (kmers, seq, pos, flip) triples in
+        stream order (shared by build_solid and the mesh-sharded
+        build_solid_mesh)."""
+        kmers, seq, pos, flip = self._extract_selected(ids, w=1,
+                                                       sample=sample)
+        if len(kmers) == 0:
+            return kmers, seq, pos, flip
         order = np.argsort(kmers, kind="stable")
         skmers = kmers[order]
         starts = np.flatnonzero(
@@ -514,15 +533,8 @@ class KmerIndex:
                 m &= ~tandem
             sel_mask[s:e] = m
 
-        kmers, seq, pos, flip = (kmers[sel_mask], seq[sel_mask],
-                                 pos[sel_mask], flip[sel_mask])
-        kmers, seq, pos, flip = cls._sort_triples(kmers, seq, pos, flip)
-        idx._finalize(kmers, seq, pos, flip, global_min_freq,
-                      repeat_kmer_rate)
-        total_len = sum(store.length(i) for i in ids)
-        total_entries = int(idx.counts.sum()) if len(idx.counts) else 1
-        idx.sample_rate = total_len / max(1, total_entries)
-        return idx
+        return (kmers[sel_mask], seq[sel_mask], pos[sel_mask],
+                flip[sel_mask])
 
     # ------------------------------------------------------------------
     # queries

@@ -56,20 +56,40 @@ def _runs(seq: np.ndarray) -> List[Tuple[int, int, int]]:
 
 def _branch_run_at(branch: np.ndarray, nucl: int, center: int,
                    window: int) -> Optional[int]:
-    """Longest run of nucl within [center-window, center+window]."""
+    """Length of the run of `nucl` NEAREST to `center` (full run length
+    even when it extends past the window).
+
+    The earlier 'longest run in window' rule inflated observations
+    whenever a separate, longer run of the same nucleotide sat nearby
+    (e.g. ...AAAAG AAAA...), which systematically mis-called run
+    lengths by +-1 — the dominant residual error class measured on the
+    parity set.  The reference reads the ALIGNED run
+    (homo_polisher.cpp:14-130); nearest-run is its bounded-search
+    equivalent at the fine bubbles, where each bubble holds at most a
+    couple of runs."""
     lo = max(0, center - window)
     hi = min(len(branch), center + window)
     if hi <= lo:
         return None
-    best = 0
-    cur = 0
-    for c in branch[lo:hi]:
-        if c == nucl:
-            cur += 1
-            best = max(best, cur)
+    best = None
+    best_d = None
+    i = lo
+    n = len(branch)
+    while i < hi:
+        if branch[i] == nucl:
+            s = i
+            while s > 0 and branch[s - 1] == nucl:
+                s -= 1
+            j = i
+            while j < n and branch[j] == nucl:
+                j += 1
+            d = abs((s + j) // 2 - center)
+            if best_d is None or d < best_d:
+                best, best_d = j - s, d
+            i = j
         else:
-            cur = 0
-    return best if best > 0 else 0
+            i += 1
+    return best if best is not None else 0
 
 
 def polish_homopolymers(candidate: np.ndarray,

@@ -29,11 +29,19 @@ logger = logging.getLogger("flye_tpu")
 class Bubble:
     target_id: int
     position: int                  # bubble index along the target
-    start: int                     # draft coords
+    start: int                     # draft coords (core, without pads)
     end: int
-    candidate: np.ndarray          # uint8 codes
+    candidate: np.ndarray          # uint8 codes incl. pads
     branches: List[np.ndarray] = field(default_factory=list)
     polished: Optional[np.ndarray] = None
+    # overlap pads: the candidate/branches extend this many draft bases
+    # beyond [start, end) on each side; compose() re-joins adjacent
+    # polished bubbles at an exact-match switch point inside the
+    # overlap, so junctions carry no slice noise (the same switch-point
+    # idiom as the disjointig stitcher, assemble/stitch.py; reference
+    # analog: consensus_generator.cpp:129-159 exact-run switch points)
+    pad_left: int = 0
+    pad_right: int = 0
 
     @property
     def sub_bubbles(self):
@@ -59,6 +67,41 @@ def _project(anchors: np.ndarray, p: int) -> Tuple[int, int]:
 
 
 _REFINE_M = 12  # boundary-marker length (bases)
+# fine-partition constants (reference: flye/config/py_cfg.py:41-43 and
+# _get_partition bubbles.py:317-359): boundaries land on
+# anchor-supported positions whose sequence context is "simple" (no
+# homopolymer / dinucleotide repeat), at least _MIN_SEP apart
+_SIMPLE_HALF = 4   # reference simple_kmer_length = 4 -> +-4 context
+_MIN_SEP = 10      # reference solid_kmer_length advance
+
+
+def _simple_mask(d: np.ndarray) -> np.ndarray:
+    """Per-position 'simple k-mer' test, vectorized (behavioral port
+    of _is_simple_kmer, reference: flye/polishing/bubbles.py:239-270):
+    a center position p is simple iff no single-nucleotide repeat lies
+    in d[p-2:p+2] and no dinucleotide repeat pattern in d[p-4:p+4]."""
+    L = len(d)
+    ok = np.ones(L, dtype=bool)
+    if L < 2 * _SIMPLE_HALF + 1:
+        ok[:] = False
+        return ok
+    # single-nucleotide: d[q] == d[q+1] kills centers p in {q, q+1, q+2}
+    eq = d[:-1] == d[1:]                      # eq[q], q in [0, L-2]
+    bad = np.zeros(L, dtype=bool)
+    for off in range(3):                      # p = q + off
+        n = min(len(eq), L - off)
+        bad[off:off + n] |= eq[:n]
+    # dinucleotide: d[q:q+2] == d[q+2:q+4] kills centers p in [q, q+4]
+    if L >= 4:
+        deq = (d[:-3] == d[2:-1]) & (d[1:-2] == d[3:])  # deq[q]
+        for off in range(5):                  # p = q + off
+            n = min(len(deq), L - off)
+            bad[off:off + n] |= deq[:n]
+    ok &= ~bad
+    # context must fit inside the sequence
+    ok[:_SIMPLE_HALF] = False
+    ok[L - _SIMPLE_HALF:] = False
+    return ok
 
 
 def _refine(read_codes: np.ndarray, marker: np.ndarray, center: int,
@@ -109,64 +152,115 @@ def make_bubbles(target_id: int, draft: np.ndarray,
         anchor_count[np.clip(pos, 0, L)] += 1
         coverage[a.cur_begin:a.cur_end] += 1
 
-    # boundaries: prefer popular anchor positions; enforce <= max_bubble
+    # boundaries: EVERY anchor-supported 'simple' position >= _MIN_SEP
+    # from its predecessor (the fine partition that the reference's
+    # solid/simple machinery produces — median bubble ~15-50 bp — where
+    # round 2 cut ~125-500 bp windows; small bubbles are what lets the
+    # single-edit hill climb + homopolymer pass reach reference
+    # identity, reference: bubbles.py:317-359), with a max_bubble
+    # fallback cut across anchor deserts.
+    # anchor-span support: an exact-match anchor starting in
+    # (p - k_w, p] certifies that its read agrees with the draft
+    # across p — the anchor-based analog of the reference's
+    # 10-consecutive-solid-positions test (bubbles.py:218-236, which
+    # works from a base-level pileup we don't materialize).  The
+    # windowed sum is dense wherever reads are locally exact, so
+    # boundaries land every ~_MIN_SEP bases in clean sequence instead
+    # of only at positions where many reads share the anchor START.
+    k_w = 16
+    acc = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum(anchor_count[:L], out=acc[1:])
+    winsum = acc[1:] - acc[np.maximum(np.arange(L) - k_w + 1, 0)]
+    qual = winsum / np.maximum(coverage[:L], 1)
+    simple = _simple_mask(draft)
+    # adaptive solidity: a cut needs at least half the contig's median
+    # anchor density (cuts at weakly-supported positions put slice
+    # noise at every junction — measured on the parity set, a fixed
+    # low threshold cost ~1e-3 identity at ~15 bp bubbles)
+    covered = coverage[:L] > 0
+    med = float(np.median(qual[covered])) if covered.any() else 0.0
+    thr = max(min_boundary_frac, 0.5 * med)
+    cand = np.flatnonzero((qual >= thr) & simple)
+    cand = cand[(cand >= _MIN_SEP) & (cand < L - _MIN_SEP)]
     boundaries = [0]
-    p = 0
-    while p < L:
-        lo = p + max_bubble // 4
-        hi = min(p + max_bubble, L)
-        if hi >= L:
-            break
-        window = anchor_count[lo:hi]
-        cov = np.maximum(coverage[lo:hi], 1)
-        qual = window / cov
-        best = int(np.argmax(qual))
-        if qual[best] >= min_boundary_frac:
-            nxt = lo + best
-        else:
-            # no popular anchor: cut at max span (extrapolated slicing)
-            nxt = hi
-        boundaries.append(nxt)
-        p = nxt
+    prev = 0
+    for c in cand:
+        c = int(c)
+        while c - prev > max_bubble:
+            prev = prev + max_bubble
+            boundaries.append(prev)
+        if c - prev >= _MIN_SEP:
+            boundaries.append(c)
+            prev = c
+    while L - prev > max_bubble:
+        prev = prev + max_bubble
+        boundaries.append(prev)
     boundaries.append(L)
+    # strict ascent: bubble index bi must equal its boundary-pair index
+    # (the vectorized slicing below relies on that mapping)
+    boundaries = [b for i, b in enumerate(boundaries)
+                  if i == 0 or b > boundaries[i - 1]]
 
+    pad = 12
     bubbles = []
     for bi, (p0, p1) in enumerate(zip(boundaries[:-1], boundaries[1:])):
-        if p1 <= p0:
-            continue
+        pl = min(pad, p0)
+        pr = min(pad, L - p1)
         bubbles.append(Bubble(target_id, bi, int(p0), int(p1),
-                              draft[p0:p1].copy()))
+                              draft[p0 - pl:p1 + pr].copy(),
+                              pad_left=int(pl), pad_right=int(pr)))
 
-    # boundary markers: the draft k-mer starting at each boundary, used
-    # to snap extrapolated read slices onto exact matches
+    # boundary markers: the draft k-mer starting at each (padded) slice
+    # position, used to snap extrapolated read slices onto exact matches
     markers = {}
-    for p in boundaries:
-        markers[p] = draft[p:min(p + _REFINE_M, L)]
+    for b in bubbles:
+        for p in (b.start - b.pad_left, b.end + b.pad_right):
+            if p not in markers:
+                markers[p] = draft[p:min(p + _REFINE_M, L)]
 
-    # slice branches
-    starts = np.asarray([b.start for b in bubbles])
+    # slice branches: all of an alignment's boundary projections run
+    # vectorized (at the fine partition there are ~20x more bubbles
+    # than round 2's windows; a per-bubble Python loop would dominate)
+    bounds_arr = np.asarray(boundaries, dtype=np.int64)
+    bub_l = np.asarray([b.start - b.pad_left for b in bubbles],
+                       dtype=np.int64)
+    bub_r = np.asarray([b.end + b.pad_right for b in bubbles],
+                       dtype=np.int64)
+    # bubble index bi spans [boundaries[bi], boundaries[bi+1])
     for a in alns:
         km = a.kmer_matches
         read_codes = reads.get(a.ext_id)
-        first = int(np.searchsorted(starts, a.cur_begin, side="left"))
-        for bi in range(first, len(bubbles)):
-            b = bubbles[bi]
-            if b.end > a.cur_end:
-                break
-            if b.start < a.cur_begin:
-                continue
+        first = int(np.searchsorted(bounds_arr, a.cur_begin,
+                                    side="left"))
+        last = int(np.searchsorted(bounds_arr, a.cur_end,
+                                   side="right")) - 1
+        if last <= first:
+            continue
+        nb = last - first
+        pts = np.concatenate([bub_l[first:last], bub_r[first:last]])
+        # nearest-anchor diagonal extrapolation (vectorized _project)
+        i = np.searchsorted(km[:, 0], pts)
+        i0 = np.clip(i - 1, 0, len(km) - 1)
+        i1 = np.clip(i, 0, len(km) - 1)
+        d0 = np.abs(pts - km[i0, 0])
+        d1 = np.abs(pts - km[i1, 0])
+        use1 = d1 < d0
+        c = np.where(use1, km[i1, 0], km[i0, 0])
+        e = np.where(use1, km[i1, 1], km[i0, 1])
+        rp = (e + (pts - c)).astype(np.int64)
+        dist = np.abs(pts - c)
+        for j in np.flatnonzero(dist):
+            rp[j] = _refine(read_codes, markers[int(pts[j])],
+                            int(rp[j]), int(dist[j]))
+        n_read = len(read_codes)
+        for t in range(nb):
+            b = bubbles[first + t]
             if len(b.branches) >= max_branches:
                 continue
-            rp0, d0 = _project(km, b.start)
-            rp1, d1 = _project(km, b.end)
-            if d0:
-                rp0 = _refine(read_codes, markers[b.start], rp0, d0)
-            if d1:
-                rp1 = _refine(read_codes, markers[b.end], rp1, d1)
-            rp0 = max(0, min(rp0, len(read_codes)))
-            rp1 = max(rp0, min(rp1, len(read_codes)))
+            rp0 = max(0, min(int(rp[t]), n_read))
+            rp1 = max(rp0, min(int(rp[nb + t]), n_read))
             blen = rp1 - rp0
-            span = b.end - b.start
+            span = int(bub_r[first + t] - bub_l[first + t])
             # discard wildly divergent branches (bad projections)
             if blen < span // 2 or blen > 2 * span + 16:
                 continue
@@ -174,13 +268,75 @@ def make_bubbles(target_id: int, draft: np.ndarray,
     return bubbles
 
 
+_SWITCH_M = 10  # junction switch-point marker length
+
+
 def compose(bubbles: List[Bubble]) -> np.ndarray:
-    """Concatenate polished bubbles back into a sequence
-    (reference: flye/polishing/polish.py:285-312 _compose_sequence)."""
-    parts = []
-    for b in sorted(bubbles, key=lambda x: x.position):
-        seq = b.polished if b.polished is not None else b.candidate
-        parts.append(seq)
-    if not parts:
+    """Re-join polished bubbles into one sequence
+    (reference: flye/polishing/polish.py:285-312 _compose_sequence).
+
+    Adjacent bubbles overlap by their pads; each junction cuts at an
+    exact _SWITCH_M-mer shared between the previous bubble's tail and
+    the next bubble's head, nearest the nominal boundary — so slice
+    noise at bubble edges never reaches the composed sequence (the
+    switch-point idiom of assemble/stitch.py; reference analog:
+    consensus_generator.cpp:129-159)."""
+    bs = sorted(bubbles, key=lambda x: x.position)
+    if not bs:
         return np.zeros(0, dtype=np.uint8)
-    return np.concatenate(parts)
+    m = _SWITCH_M
+
+    def seq_of(b):
+        return b.polished if b.polished is not None else b.candidate
+
+    parts = []
+    cur = seq_of(bs[0])
+    prev_b = bs[0]
+    for b in bs[1:]:
+        nxt = seq_of(b)
+        pr, pl = prev_b.pad_right, b.pad_left
+        W = pr + pl + 8
+        tail_base = max(0, len(cur) - W - m)
+        tb = cur[tail_base:].tobytes()
+        hb = nxt[:min(len(nxt), W + m)].tobytes()
+        target_i = len(cur) - pr
+        best = None
+
+        def _periodic(s: bytes) -> bool:
+            # period-1/2/3 markers slide inside homo-/di-/tri-nucleotide
+            # runs, which would let the junction gain or lose repeat
+            # units; only aperiodic markers may anchor a switch
+            return (s[1:] == s[:-1] or s[2:] == s[:-2]
+                    or s[3:] == s[:-3])
+
+        if len(hb) >= m and len(tb) >= m:
+            head_pos = {}
+            for j in range(len(hb) - m + 1):
+                kmj = hb[j:j + m]
+                if _periodic(kmj):
+                    continue
+                old_j = head_pos.get(kmj)
+                if old_j is None or abs(j - pl) < abs(old_j - pl):
+                    head_pos[kmj] = j
+            for i in range(len(tb) - m + 1):
+                j = head_pos.get(tb[i:i + m])
+                if j is None:
+                    continue
+                gi = tail_base + i
+                score = abs(gi - target_i) + abs(j - pl)
+                if best is None or score < best[0]:
+                    best = (score, gi, j)
+        # accept only near-nominal switches: a marker that also occurs
+        # ~10 bp away (local repeat) would otherwise duplicate or drop
+        # a segment at the junction
+        if best is not None and best[0] <= 2 * m:
+            _, gi, j = best
+            parts.append(cur[:gi])
+            cur = nxt[j:]
+        else:
+            # no exact junction marker: nominal pad trim
+            parts.append(cur[:max(0, len(cur) - pr)])
+            cur = nxt[min(pl, len(nxt)):]
+        prev_b = b
+    parts.append(cur)
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)

@@ -119,3 +119,32 @@ def test_polish_kernel_mesh_identical(runtime_guard):
     np.testing.assert_array_equal(out[1][1], out[len(jax.devices())][1])
     np.testing.assert_allclose(out[1][2], out[len(jax.devices())][2],
                                rtol=1e-6)
+
+
+def test_solid_index_build_routes_to_mesh(read_store, runtime_guard):
+    """The raw-read (solid-kmer) build must also route to the
+    hash-sharded mesh build when the runtime is active (round-2 gap:
+    only the minimizer path had a mesh route)."""
+    from flye_tpu.index import build_solid_index
+    from flye_tpu.index.sharded import ShardedKmerIndex
+
+    _with_mesh(len(jax.devices()))
+    assert get_runtime().active
+    idx = build_solid_index(read_store, 15, select_rate=0.4,
+                            tandem_freq=10)
+    assert isinstance(idx, ShardedKmerIndex)
+    set_runtime(None)
+    plain = build_solid_index(read_store, 15, select_rate=0.4,
+                              tandem_freq=10)
+    # identical content modulo shard-major key order: compare the
+    # full posting multiset per kmer
+    def canon_postings(ix):
+        out = {}
+        u = np.asarray(ix.uniq_kmers)
+        for r in range(ix.num_kmers):
+            s, e = ix.offsets[r], ix.offsets[r + 1]
+            out[int(u[r])] = sorted(zip(ix.post_seq[s:e].tolist(),
+                                        ix.post_pos[s:e].tolist(),
+                                        ix.post_flip[s:e].tolist()))
+        return out
+    assert canon_postings(idx) == canon_postings(plain)

@@ -11,7 +11,7 @@ stages (minimap2 + bubble extraction + C++ polisher; the polisher
 proper handles 28,392 ~15 bp bubbles in 6 s x 2 cores), i.e.
 2 x 419,768 bases / 62 core-s = 13,540 polished bases per core-second
 at stage level.  Our benchmark bubble is 120 bases, so
-vs_baseline = bubbles/s x 120 / 13,540 — the chip-vs-one-core ratio in
+vs_baseline = bubbles/s x bubble_bases / 13,540 — the chip-vs-one-core ratio in
 bases polished (kernel-only on our side, full stage on theirs; our
 mapping/window phases are excluded on both sides of PARITY.md's
 stage-level table).  The round-1 denominator (21 windows/s/core,
@@ -31,7 +31,7 @@ import time
 import numpy as np
 
 _REFERENCE_BASES_PER_CORE_S = 13540.0  # measured, see module docstring
-_BENCH_BUBBLE_BASES = 120.0
+_BENCH_BUBBLE_BASES = 16.0  # production fine-bubble candidate length
 
 
 def make_polish_workload(B, C=120, Cb=160, R=16, S=240, errs=6, seed=0):
@@ -54,25 +54,35 @@ def make_polish_workload(B, C=120, Cb=160, R=16, S=240, errs=6, seed=0):
     return cand, clen, branches, blen, bmask
 
 
-def bench_polish(B=512, reps=2, max_iters=48):
+def bench_polish(B=8192, reps=2, max_iters=24):
+    """Headline workload = the PRODUCTION bubble shape: the round-3
+    fine partition polishes ~15 bp bubbles with ~30 branches (matching
+    the reference's own granularity — its parity run makes 28,392
+    ~15 bp bubbles on the 420 kb set).  C=16/Cb=24/R=32/S=40."""
     import jax
 
     from flye_tpu.ops.polish import polish_bubbles
     from flye_tpu.polishing.matrices import get_subs_matrix
 
+    C, Cb, R, S, errs = 16, 24, 32, 40, 1
     subs = get_subs_matrix("pacbio")
-    args = make_polish_workload(B, seed=99)
+    args = make_polish_workload(B, C=C, Cb=Cb, R=R, S=S, errs=errs,
+                                seed=99)
     out = polish_bubbles(*args, subs, max_iters=max_iters)  # compile
     jax.block_until_ready(out)
     times = []
     iters_total = 0
     for rep in range(reps):
-        args = make_polish_workload(B, seed=rep)
+        args = make_polish_workload(B, C=C, Cb=Cb, R=R, S=S,
+                                    errs=errs, seed=rep)
         t0 = time.perf_counter()
         out = polish_bubbles(*args, subs, max_iters=max_iters)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-        iters_total = int(np.asarray(out[3]).sum())
+        # iters[b] records the last not-yet-converged poll; rows that
+        # converge before the first poll report 0 — floor at the poll
+        # stride so the roofline model counts their real work
+        iters_total = int(np.maximum(np.asarray(out[3]), 4).sum())
 
     # --- roofline attribution (VPU-bound kernel) ---
     # per bubble-iteration the fused kernels sweep the forward +
@@ -82,9 +92,9 @@ def bench_polish(B=512, reps=2, max_iters=48):
     # the in-row gap dependency (twice: F and B), and ~6 passes per
     # scored character class.  Model: OPS_PER_CELL elementwise f32 ops
     # per (row, branch, lane) cell per iteration.
-    C, R, W = 120, 16, 256  # bench workload, W = S+1 padded to lanes
+    R_b, W = 32, 128  # bench workload; W = S+1 padded to lanes
     ops_per_cell = 2 * (2 + 2 * np.log2(W)) + 26
-    cells = (C + 1) * R * W
+    cells = (C + 1) * R_b * W
     ops = iters_total * cells * ops_per_cell
     gops = ops / min(times) / 1e9
     # v5e VPU peak for elementwise f32: 8x128 lanes x 4 subunits x

@@ -811,6 +811,61 @@ static PyObject* chain_group_prep(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
+// refine_points: snap extrapolated read coordinates onto the exact
+// occurrence of each boundary marker nearest the estimate (batched
+// twin of polishing/windows.py _refine; that Python/numpy version at
+// ~40 us/call dominated bubble extraction at the fine partition —
+// ~1.3M calls per 420 kb contig).
+//
+// read uint8[N]; markers uint8[P, m]; mlen int32[P] (valid marker
+// bytes; < m -> keep the estimate); centers int64[P]; dists int64[P].
+// Returns int64[P] refined positions.
+// ---------------------------------------------------------------------
+static PyObject* refine_points(PyObject*, PyObject* args) {
+  Py_buffer read_b, mark_b, mlen_b, cent_b, dist_b;
+  Py_ssize_t P;
+  int m;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*ni", &read_b, &mark_b, &mlen_b,
+                        &cent_b, &dist_b, &P, &m)) {
+    return nullptr;
+  }
+  const unsigned char* read = static_cast<const unsigned char*>(read_b.buf);
+  const int64_t N = read_b.len;
+  const unsigned char* markers = static_cast<const unsigned char*>(mark_b.buf);
+  const int32_t* mlens = static_cast<const int32_t*>(mlen_b.buf);
+  const int64_t* centers = static_cast<const int64_t*>(cent_b.buf);
+  const int64_t* dists = static_cast<const int64_t*>(dist_b.buf);
+  std::vector<int64_t> out(P);
+  for (Py_ssize_t p = 0; p < P; ++p) {
+    const int64_t center = centers[p];
+    out[p] = center;
+    if (dists[p] == 0 || mlens[p] < m) continue;
+    const int64_t radius =
+        std::min<int64_t>(48, 4 + (dists[p] * 2) / 10);
+    const int64_t lo = std::max<int64_t>(0, center - radius);
+    const int64_t hi = std::min<int64_t>(N - m, center + radius);
+    if (hi < lo) continue;
+    const unsigned char* mk = markers + (size_t)p * m;
+    int64_t best = -1, best_d = 0;
+    for (int64_t q = lo; q <= hi; ++q) {
+      if (std::memcmp(read + q, mk, m) != 0) continue;
+      const int64_t d = std::abs(q - center);
+      if (best < 0 || d < best_d) {
+        best = q;
+        best_d = d;
+      }
+    }
+    if (best >= 0) out[p] = best;
+  }
+  PyObject* r = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()), out.size() * 8);
+  for (Py_buffer* pb : {&read_b, &mark_b, &mlen_b, &cent_b, &dist_b}) {
+    PyBuffer_Release(pb);
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------
 // extract_kmers: rolling canonical k-mer extraction over a concatenated
 // read stream, sampling every `sample`-th position per read (the w=1
 // path of the device kernel ops/kmers.py stream_select_packed; the
@@ -1568,6 +1623,8 @@ static PyMethodDef methods[] = {
      "Rolling canonical k-mer probe of the sorted index table"},
     {"extract_kmers", extract_kmers, METH_VARARGS,
      "Rolling canonical k-mer extraction with per-read sampling"},
+    {"refine_points", refine_points, METH_VARARGS,
+     "Snap extrapolated read coordinates onto exact boundary markers"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT,

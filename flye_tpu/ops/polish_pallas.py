@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-_TILE_B = 32  # max batch tile; Bb is always padded to a multiple of this
+_TILE_B = 32  # batch padding granularity (tiles may be up to 64)
 
 
 def _pick_tile(Rp: int, W: int, C1: int) -> int:
@@ -47,7 +47,7 @@ def _pick_tile(Rp: int, W: int, C1: int) -> int:
     margin is thin (a (32, 8, 640, 385) bucket measured 16.19M against
     the 16M scoped-VMEM limit), so budget 13 MB.  Returns None if no
     tile fits (caller falls back to the jnp/XLA scoring path)."""
-    for tile in (32, 16, 8):
+    for tile in (64, 32, 16, 8):
         planes = 20 * tile * Rp * W * 4
         outs = 2 * 9 * tile * C1 * 4
         if planes + outs <= 13 * 1024 * 1024:
@@ -329,11 +329,13 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     n_shifts = (W - 1).bit_length()
     pad_b = Bp - Bb
     C1 = Cb + 1
-    tile = _pick_tile(Rp, W, C1)  # divides _TILE_B, and so Bp
+    tile = _pick_tile(Rp, W, C1)
     if tile is None:
         raise ValueError(
             f"bucket Rp={Rp} W={W} exceeds VMEM even at tile 8; "
             "guard calls with fits_vmem()")
+    while tile > 8 and Bp % tile:  # grid tiles must divide the batch
+        tile //= 2
 
     c1h = jax.nn.one_hot(cand, 4, dtype=jnp.float32)
     vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])

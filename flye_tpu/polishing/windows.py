@@ -212,11 +212,28 @@ def make_bubbles(target_id: int, draft: np.ndarray,
 
     # boundary markers: the draft k-mer starting at each (padded) slice
     # position, used to snap extrapolated read slices onto exact matches
-    markers = {}
-    for b in bubbles:
-        for p in (b.start - b.pad_left, b.end + b.pad_right):
-            if p not in markers:
-                markers[p] = draft[p:min(p + _REFINE_M, L)]
+    from flye_tpu import native
+    mod = native.get()
+    bub_l_arr = np.asarray([b.start - b.pad_left for b in bubbles],
+                           dtype=np.int64)
+    bub_r_arr = np.asarray([b.end + b.pad_right for b in bubbles],
+                           dtype=np.int64)
+
+    def marker_rows(pos):
+        ml = np.minimum(_REFINE_M, L - pos).astype(np.int32)
+        idx = np.minimum(pos[:, None] + np.arange(_REFINE_M), L - 1)
+        return np.ascontiguousarray(draft[idx], dtype=np.uint8), ml
+
+    if mod is not None:
+        ML, MLl = marker_rows(bub_l_arr)
+        MR, MRl = marker_rows(bub_r_arr)
+        markers = None
+    else:
+        markers = {}
+        for b in bubbles:
+            for p in (b.start - b.pad_left, b.end + b.pad_right):
+                if p not in markers:
+                    markers[p] = draft[p:min(p + _REFINE_M, L)]
 
     # slice branches: all of an alignment's boundary projections run
     # vectorized (at the fine partition there are ~20x more bubbles
@@ -248,10 +265,18 @@ def make_bubbles(target_id: int, draft: np.ndarray,
         c = np.where(use1, km[i1, 0], km[i0, 0])
         e = np.where(use1, km[i1, 1], km[i0, 1])
         rp = (e + (pts - c)).astype(np.int64)
-        dist = np.abs(pts - c)
-        for j in np.flatnonzero(dist):
-            rp[j] = _refine(read_codes, markers[int(pts[j])],
-                            int(rp[j]), int(dist[j]))
+        dist = np.abs(pts - c).astype(np.int64)
+        if mod is not None:
+            mk = np.concatenate([ML[first:last], MR[first:last]])
+            mkl = np.concatenate([MLl[first:last], MRl[first:last]])
+            rp = np.frombuffer(mod.refine_points(
+                np.ascontiguousarray(read_codes, dtype=np.uint8),
+                mk, np.ascontiguousarray(mkl), rp, dist,
+                len(rp), _REFINE_M), np.int64)
+        else:
+            for j in np.flatnonzero(dist):
+                rp[j] = _refine(read_codes, markers[int(pts[j])],
+                                int(rp[j]), int(dist[j]))
         n_read = len(read_codes)
         for t in range(nb):
             b = bubbles[first + t]

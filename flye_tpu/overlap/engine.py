@@ -1023,9 +1023,9 @@ class OverlapStore:
                   rng.choice(len(ids), size=n_sample, replace=False)]
         sample.sort(key=lambda s: self.queries.length(s))
         divs = []
-        for lo in range(0, len(sample), 48):
+        for lo in range(0, len(sample), 256):
             res = self.engine.get_overlaps_batch(
-                self.queries, sample[lo:lo + 48])
+                self.queries, sample[lo:lo + 256])
             for ovlps in res.values():
                 if ovlps:
                     best = max(ovlps, key=lambda o: o.cur_range)

@@ -492,18 +492,36 @@ class KmerIndex:
                                                        sample=sample)
         if len(kmers) == 0:
             return kmers, seq, pos, flip
-        order = np.argsort(kmers, kind="stable")
-        skmers = kmers[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], skmers[1:] != skmers[:-1]]))
-        cnt_vals = np.diff(np.concatenate(
-            [starts, [len(skmers)]])).astype(np.int64)
+        from flye_tpu import native
+        mod = native.get()
+        table_bytes = 1 << (2 * self.k)
+        if (mod is not None and 2 * self.k <= 34 and
+                (len(kmers) >= (1 << 22) or table_bytes <= (1 << 28))):
+            # flat saturating-counter pass (native; the reference's
+            # KmerCounter design, vertex_index.cpp:504-557).  uint8
+            # saturation at 255 cannot change the selection: the
+            # per-read threshold below is clamped to <= 4, so any
+            # count >= 4 is equivalent.  Replaces the full argsort of
+            # the k-mer stream — 40 min / 87 Gb peak at 1.46 G k-mers
+            # on the 50 Mb run — with two linear passes.
+            freq = np.frombuffer(
+                mod.count_kmer_freqs(
+                    np.ascontiguousarray(kmers, dtype=np.int64),
+                    int(self.k)),
+                np.uint8).astype(np.int64)
+        else:
+            order = np.argsort(kmers, kind="stable")
+            skmers = kmers[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], skmers[1:] != skmers[:-1]]))
+            cnt_vals = np.diff(np.concatenate(
+                [starts, [len(skmers)]])).astype(np.int64)
 
-        # per-position global frequency by inverting the sort permutation
-        # (no searchsorted: repeat each group's count across its members,
-        # then scatter back to stream order)
-        freq = np.empty(len(kmers), dtype=np.int64)
-        freq[order] = np.repeat(cnt_vals, cnt_vals)
+            # per-position global frequency by inverting the sort
+            # permutation (repeat each group's count across its
+            # members, then scatter back to stream order)
+            freq = np.empty(len(kmers), dtype=np.int64)
+            freq[order] = np.repeat(cnt_vals, cnt_vals)
 
         # Per-read frequency threshold: keep positions whose global
         # frequency marks them as genuine (error k-mers barely recur).

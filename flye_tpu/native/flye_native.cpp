@@ -811,6 +811,71 @@ static PyObject* chain_group_prep(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
+// count_kmer_freqs: per-position global k-mer frequencies via a flat
+// saturating uint8 counter table over the 4^k key space (the
+// reference's KmerCounter design, vertex_index.cpp:504-557, which uses
+// 4-bit counters + an overflow map; uint8 saturation at 255 is exact
+// for every decision the solid-index selection makes — its per-read
+// threshold is clamped to <= 4).  Replaces a full argsort of the
+// k-mer stream (measured 40 min / 87 Gb peak at 1.46 G k-mers on the
+// 50 Mb run) with two linear passes.
+//
+// kmers int64[M] canonical; k (table = 4^k bytes, caller gates size).
+// Returns freq uint8[M].
+// ---------------------------------------------------------------------
+static PyObject* count_kmer_freqs(PyObject*, PyObject* args) {
+  Py_buffer km_b;
+  int k;
+  if (!PyArg_ParseTuple(args, "y*i", &km_b, &k)) return nullptr;
+  const int64_t* kmers = static_cast<const int64_t*>(km_b.buf);
+  const Py_ssize_t M = km_b.len / 8;
+  const uint64_t space = 1ull << (2 * k);
+  std::vector<uint8_t> table;
+  try {
+    table.assign(space, 0);
+  } catch (const std::bad_alloc&) {
+    PyBuffer_Release(&km_b);
+    PyErr_SetString(PyExc_MemoryError, "k-mer counter table");
+    return nullptr;
+  }
+  std::vector<uint8_t> freq(M);
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    // two threads partition the VALUE space by the top key bit, each
+    // scanning the whole stream — no atomics, deterministic
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = hw >= 2 ? 2 : 1;
+    auto count_worker = [&](int t) {
+      const uint64_t bit = space >> 1;
+      for (Py_ssize_t i = 0; i < M; ++i) {
+        const uint64_t v = (uint64_t)kmers[i];
+        if (nt == 2 && ((v & bit) != 0) != (t == 1)) continue;
+        uint8_t& c = table[v];
+        if (c < 255) ++c;
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < nt; ++t) threads.emplace_back(count_worker, t);
+    count_worker(0);
+    for (auto& th : threads) th.join();
+    // pass 2: gather (split the stream between threads)
+    auto gather_worker = [&](Py_ssize_t lo, Py_ssize_t hi) {
+      for (Py_ssize_t i = lo; i < hi; ++i) {
+        freq[i] = table[(uint64_t)kmers[i]];
+      }
+    };
+    std::thread t2(gather_worker, M / 2, M);
+    gather_worker(0, M / 2);
+    t2.join();
+  }
+  Py_END_ALLOW_THREADS;
+  PyObject* out = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(freq.data()), freq.size());
+  PyBuffer_Release(&km_b);
+  return out;
+}
+
+// ---------------------------------------------------------------------
 // refine_points: snap extrapolated read coordinates onto the exact
 // occurrence of each boundary marker nearest the estimate (batched
 // twin of polishing/windows.py _refine; that Python/numpy version at
@@ -1623,6 +1688,8 @@ static PyMethodDef methods[] = {
      "Rolling canonical k-mer probe of the sorted index table"},
     {"extract_kmers", extract_kmers, METH_VARARGS,
      "Rolling canonical k-mer extraction with per-read sampling"},
+    {"count_kmer_freqs", count_kmer_freqs, METH_VARARGS,
+     "Flat saturating-counter k-mer frequency pass"},
     {"refine_points", refine_points, METH_VARARGS,
      "Snap extrapolated read coordinates onto exact boundary markers"},
     {nullptr, nullptr, 0, nullptr}};

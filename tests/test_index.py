@@ -168,3 +168,30 @@ def test_solid_device_select_byte_identical(rng):
         np.testing.assert_array_equal(host.post_pos, dev.post_pos)
         np.testing.assert_array_equal(host.post_flip, dev.post_flip)
         np.testing.assert_array_equal(host.repetitive, dev.repetitive)
+
+
+def test_flat_counter_matches_argsort_selection(rng, monkeypatch):
+    """The native flat-counter frequency pass must produce the same
+    solid-index selection as the argsort counting path (saturation at
+    255 is masked by the <=4 threshold clamp)."""
+    import flye_tpu.native as native
+
+    genome = random_genome(800, seed=17)
+    store = SequenceStore()
+    local = np.random.default_rng(9)
+    for i in range(15):
+        mut = genome.copy()
+        flips = local.integers(0, len(mut), size=10)
+        mut[flips] = (mut[flips] + local.integers(1, 4, size=10)) % 4
+        store.add(f"r{i}", mut)
+    a = KmerIndex.build_solid(store, 13, select_rate=0.4,
+                              tandem_freq=10, global_min_freq=2)
+    monkeypatch.setattr(native, "get", lambda: None)
+    b = KmerIndex.build_solid(store, 13, select_rate=0.4,
+                              tandem_freq=10, global_min_freq=2)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(a.uniq_kmers),
+                                  np.asarray(b.uniq_kmers))
+    np.testing.assert_array_equal(a.post_seq, b.post_seq)
+    np.testing.assert_array_equal(a.post_pos, b.post_pos)
+    np.testing.assert_array_equal(a.counts, b.counts)

@@ -474,24 +474,35 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
             return native_out
 
     # Branch-group tiling: buckets with many branches split into lanes
-    # of <=8 branches (score sums over branches decompose exactly; the
-    # char argmax happens after the group reduction in _select_apply).
-    # This keeps the Pallas working set at Rp=8 regardless of branch
-    # count — without it, 32/56-branch buckets fell off the VMEM path
-    # onto the jnp formulation whose HBM footprint forced batch size 1
-    # (observed 877 single-bubble kernel calls on an E. coli run).
-    R = branches.shape[1]
-    groups = max(1, -(-R // 8)) if R > 8 else 1
+    # of <=8 branch ROWS (score sums over branches decompose exactly;
+    # the char argmax happens after the group reduction in
+    # _select_apply).  This keeps the Pallas working set at Rp=8
+    # regardless of branch count — without it, 32/56-branch buckets
+    # fell off the VMEM path onto the jnp formulation whose HBM
+    # footprint forced batch size 1 (observed 877 single-bubble kernel
+    # calls on an E. coli run).  When the Pallas kernels pack 2 or 4
+    # short branches per 128-lane row (polish_pallas.pack_for), a group
+    # carries 8*pack branches so each group still fills exactly 8 rows
+    # — halving/quartering the number of group-lanes for the dominant
+    # fine-bubble shapes.
+    R, S = branches.shape[1], branches.shape[2]
+    maybe_pallas = (jax.default_backend() == "tpu" if use_pallas is None
+                    else bool(use_pallas))
+    gsz = 8
+    if maybe_pallas:
+        from flye_tpu.ops.polish_pallas import pack_for
+        gsz = 8 * pack_for(S)
+    groups = max(1, -(-R // gsz)) if R > gsz else 1
     if groups > 1:
-        B0, _, S = branches.shape
-        pad_r = groups * 8 - R
+        B0 = branches.shape[0]
+        pad_r = groups * gsz - R
         branches = np.pad(np.asarray(branches),
                           ((0, 0), (0, pad_r), (0, 0)))
         blen = np.pad(np.asarray(blen), ((0, 0), (0, pad_r)))
         bmask = np.pad(np.asarray(bmask), ((0, 0), (0, pad_r)))
-        branches = branches.reshape(B0 * groups, 8, S)
-        blen = blen.reshape(B0 * groups, 8)
-        bmask = bmask.reshape(B0 * groups, 8)
+        branches = branches.reshape(B0 * groups, gsz, S)
+        blen = blen.reshape(B0 * groups, gsz)
+        bmask = bmask.reshape(B0 * groups, gsz)
 
     if use_pallas is None:
         # the fused Pallas scoring path is the TPU default

@@ -14,6 +14,17 @@ than the data requires.  These kernels keep each DP row in VMEM:
     (never materialized in HBM), streams each B row in once, and
     computes del/ins/sub scores for all 4 characters in the same pass.
 
+Branch packing (round 3): the production bubbles are short (~15-40 bp
+branches, the reference's own fine-partition scale,
+flye/polishing/bubbles.py:317-359) while the VPU row is 128 lanes —
+one branch per row wastes 2-4x of every vector op.  For branch buffers
+with S+1 <= 64 (resp. 32), `pack` = 2 (resp. 4) branches share each
+128-lane row as independent Wseg-lane segments: shifts and the
+prefix/suffix-max scans mask at segment boundaries, per-branch maxima
+are read off segment-start lanes after an in-segment suffix-max, and
+branch r of segment g is branch index g*Rp + r.  Packing multiplies
+measured fine-bubble throughput by ~pack (the kernel is lane-bound).
+
 Semantics match ops/polish.py's forward_rows/backward_rows/scoring
 exactly (same masks, same NEG padding); the only difference is
 float reduction order (<=2e-5 on the scores, far under the polisher's
@@ -36,6 +47,15 @@ NEG = -1e30
 _TILE_B = 32  # batch padding granularity (tiles may be up to 64)
 
 
+def pack_for(S: int) -> int:
+    """Branches per 128-lane row for a branch buffer of S bases."""
+    if S + 1 <= 32:
+        return 4
+    if S + 1 <= 64:
+        return 2
+    return 1
+
+
 def _pick_tile(Rp: int, W: int, C1: int) -> int:
     """Largest batch tile whose VMEM working set fits on-chip.
 
@@ -47,7 +67,7 @@ def _pick_tile(Rp: int, W: int, C1: int) -> int:
     margin is thin (a (32, 8, 640, 385) bucket measured 16.19M against
     the 16M scoped-VMEM limit), so budget 13 MB.  Returns None if no
     tile fits (caller falls back to the jnp/XLA scoring path)."""
-    for tile in (64, 32, 16, 8):
+    for tile in (128, 64, 32, 16, 8):
         planes = 20 * tile * Rp * W * 4
         outs = 2 * 9 * tile * C1 * 4
         if planes + outs <= 13 * 1024 * 1024:
@@ -55,12 +75,22 @@ def _pick_tile(Rp: int, W: int, C1: int) -> int:
     return None
 
 
+def _kernel_dims(R: int, S: int):
+    """(pack, Wseg, Rp, W) of the kernel layout for an [*, R, S] bucket."""
+    pack = pack_for(S)
+    if pack > 1:
+        Wseg = 128 // pack
+        Rp = _round_up(-(-R // pack), 8)
+        return pack, Wseg, Rp, pack * Wseg
+    W = _round_up(S + 1, 128)
+    return 1, W, _round_up(R, 8), W
+
+
 def fits_vmem(R: int, S: int, Cb: int) -> bool:
     """Whether a [*, R, S] branch bucket with a Cb-wide candidate can
     run through the fused Pallas kernels on a 16 MB-VMEM core (very
     long windows cannot; the jnp path takes those)."""
-    Rp = _round_up(R, 8)
-    W = _round_up(S + 1, 128)
+    _, _, Rp, W = _kernel_dims(R, S)
     return _pick_tile(Rp, W, Cb + 1) is not None
 
 
@@ -68,36 +98,48 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _shift_r(x, fill):
-    """x[..., j] -> x[..., j-1], fill at j=0."""
+def _shift_r(x, fill, jmod=None):
+    """x[..., j] -> x[..., j-1], fill at j=0 (and at every segment
+    start when jmod is given — packed rows)."""
     tb, r, w = x.shape
-    return jnp.concatenate(
+    out = jnp.concatenate(
         [jnp.full((tb, r, 1), fill, x.dtype), x[:, :, :-1]], axis=2)
+    if jmod is not None:
+        out = jnp.where(jmod == 0, fill, out)
+    return out
 
 
-def _shift_l(x, fill):
-    """x[..., j] -> x[..., j+1], fill at j=W-1."""
+def _shift_l(x, fill, jmod=None, Wseg=None):
+    """x[..., j] -> x[..., j+1], fill at j=W-1 (and at every segment
+    end when jmod is given — packed rows)."""
     tb, r, w = x.shape
-    return jnp.concatenate(
+    out = jnp.concatenate(
         [x[:, :, 1:], jnp.full((tb, r, 1), fill, x.dtype)], axis=2)
+    if jmod is not None:
+        out = jnp.where(jmod == Wseg - 1, fill, out)
+    return out
 
 
-def _prefix_max(g, n_shifts):
+def _prefix_max(g, n_shifts, jmod=None):
     for p in range(n_shifts):
         s = 1 << p
         tb, r, w = g.shape
         rolled = jnp.concatenate(
             [jnp.full((tb, r, s), NEG, g.dtype), g[:, :, :-s]], axis=2)
+        if jmod is not None:
+            rolled = jnp.where(jmod < s, NEG, rolled)
         g = jnp.maximum(g, rolled)
     return g
 
 
-def _suffix_max(g, n_shifts):
+def _suffix_max(g, n_shifts, jmod=None, Wseg=None):
     for p in range(n_shifts):
         s = 1 << p
         tb, r, w = g.shape
         rolled = jnp.concatenate(
             [g[:, :, s:], jnp.full((tb, r, s), NEG, g.dtype)], axis=2)
+        if jmod is not None:
+            rolled = jnp.where(jmod >= Wseg - s, NEG, rolled)
         g = jnp.maximum(g, rolled)
     return g
 
@@ -134,7 +176,7 @@ def _setcol3(ref, x, i, val):
 
 def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
                      clen_ref, blen_ref, out_ref, carry, *, Cb: int,
-                     n_shifts: int):
+                     n_shifts: int, pack: int, Wseg: int, Rp: int):
     t = pl.program_id(1)
     i = Cb - 1 - t
 
@@ -149,16 +191,25 @@ def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
     match = _sel_match(cx, sw_ref[:])
     vg = _col(vgap_ref, i)[:, None, None]
     dsi = _col(ds_ref, i)[:, None, None]
-    blen3 = blen_ref[:][:, :, None]
     jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
+    if pack > 1:
+        # blen_ref is a precomputed [TB, Rp, W] lane plane (packed)
+        jmod = jpos & (Wseg - 1)
+        blen3 = blen_ref[:]
+        jmod_eff = jmod
+    else:
+        jmod = None
+        blen3 = blen_ref[:][:, :, None]
+        jmod_eff = jpos
 
-    diag = jnp.where(jpos < blen3, _shift_l(nxt, NEG) + match, NEG)
+    diag = jnp.where(jmod_eff < blen3,
+                     _shift_l(nxt, NEG, jmod, Wseg) + match, NEG)
     tmp = jnp.maximum(diag, nxt + vg)
-    tmp = jnp.where(jpos <= blen3, tmp, NEG)
-    row = _suffix_max(tmp - sg, n_shifts) + sg
+    tmp = jnp.where(jmod_eff <= blen3, tmp, NEG)
+    row = _suffix_max(tmp - sg, n_shifts, jmod, Wseg) + sg
     in_range = (i < clen_ref[:, 0])[:, None, None]
     row = jnp.where(in_range, row, sg)
-    row = jnp.where(jpos <= blen3, row, dsi)
+    row = jnp.where(jmod_eff <= blen3, row, dsi)
     carry[:] = row
     out_ref[0] = row
 
@@ -167,7 +218,8 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
                           cand_ref, vgap_ref, clen_ref, blen_ref,
                           bmask_ref, xgap_ref,
                           del_ref, ins4_ref, sub4_ref, total_ref,
-                          carry, bprev, *, Cb: int, n_shifts: int):
+                          carry, bprev, *, Cb: int, n_shifts: int,
+                          pack: int, Wseg: int, Rp: int):
     """Grid step t loads ONE backward row (B[t], clamped to Cb-1) and
     scores position i = t - 1 against (B[i] carried in scratch from the
     previous step, B[i+1] just loaded).  Streaming the backward tensor
@@ -175,7 +227,34 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
     ~40% of this pass's HBM traffic — its dominant cost."""
     t = pl.program_id(1)
     sg = sg_ref[:]
-    bmaskf = bmask_ref[:]
+    TBs, Rs, Ws = sg.shape
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (TBs, Rs, Ws), 2)
+    if pack > 1:
+        # blen_ref is a precomputed [TB, Rp, W] lane plane; bmask_ref
+        # stays a flat [TB, pack*Rp] branch-weight block.  Per-branch
+        # maxima come from static lane slices (one Wseg-wide segment
+        # per packed branch) + a plain max-reduce — much cheaper than
+        # an in-segment suffix-max scan.
+        jmod = jpos & (Wseg - 1)
+        blen3 = blen_ref[:]
+        bflat = bmask_ref[:]
+        jmod_eff = jmod
+
+        def reduce_wmax(x):
+            out = None
+            for g in range(pack):
+                m = jnp.max(x[:, :, g * Wseg:(g + 1) * Wseg], axis=2)
+                c = jnp.sum(m * bflat[:, g * Rp:(g + 1) * Rp], axis=1)
+                out = c if out is None else out + c
+            return out
+    else:
+        jmod = None
+        blen3 = blen_ref[:][:, :, None]
+        bmaskf = bmask_ref[:]
+        jmod_eff = jpos
+
+        def reduce_wmax(x):
+            return jnp.sum(jnp.max(x, axis=2) * bmaskf, axis=1)
 
     @pl.when(t == 0)
     def _():
@@ -184,17 +263,19 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
         # backward) the loaded row equals the base row anyway
         B0 = b_ref[0]
         bprev[:] = B0
-        tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
+        if pack > 1:
+            # per-branch position-0 value = segment max of B0 with all
+            # non-start lanes pushed to NEG
+            tot = reduce_wmax(jnp.where(jmod == 0, B0, NEG))
+        else:
+            tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
         total_ref[:] = jnp.broadcast_to(tot[:, None], total_ref.shape)
 
     @pl.when(t > 0)
     def _():
         i = t - 1
         F = carry[:]
-        TB, R, W = F.shape
-        blen3 = blen_ref[:][:, :, None]
-        jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
-        jmask = jnp.where(jpos <= blen3, 0.0, NEG)
+        jmask = jnp.where(jmod_eff <= blen3, 0.0, NEG)
 
         B0 = bprev[:]                               # B[i]
         # B[i+1]; indices beyond Cb-1 resolve to the base row sg
@@ -203,8 +284,7 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
         # raw per-char sums only: position-validity and cand!=x masks
         # are per-lane and apply after the branch-group reduction
         # (ops/polish._finish_scores)
-        dmax = jnp.max(F + (B1 + jmask), axis=2)
-        _setcol(del_ref, i, jnp.sum(dmax * bmaskf, axis=1))
+        _setcol(del_ref, i, reduce_wmax(F + (B1 + jmask)))
 
         cx = _col(cand_ref, i)
         B0m = B0 + jmask
@@ -212,11 +292,9 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
         for x in range(4):
             mx = sw_ref[x]
             xg = xgap_ref[0, x]
-            subx = jnp.maximum(_shift_r(F + mx, NEG), F + xg)
-            ins_x = jnp.sum(jnp.max(subx + B0m, axis=2) * bmaskf, axis=1)
-            sub_x = jnp.sum(jnp.max(subx + B1m, axis=2) * bmaskf, axis=1)
-            _setcol3(ins4_ref, x, i, ins_x)
-            _setcol3(sub4_ref, x, i, sub_x)
+            subx = jnp.maximum(_shift_r(F + mx, NEG, jmod), F + xg)
+            _setcol3(ins4_ref, x, i, reduce_wmax(subx + B0m))
+            _setcol3(sub4_ref, x, i, reduce_wmax(subx + B1m))
 
         bprev[:] = B1
 
@@ -226,8 +304,8 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
             gp = gp_ref[:]
             match = _sel_match(cx, sw_ref[:])
             vg = _col(vgap_ref, i)[:, None, None]
-            tmp = jnp.maximum(_shift_r(F + match, NEG), F + vg)
-            carry[:] = _prefix_max(tmp - gp, n_shifts) + gp
+            tmp = jnp.maximum(_shift_r(F + match, NEG, jmod), F + vg)
+            carry[:] = _prefix_max(tmp - gp, n_shifts, jmod) + gp
 
 
 def prepare_branches_pallas(branches, blen, bmask, subs):
@@ -242,8 +320,7 @@ def prepare_branches_pallas(branches, blen, bmask, subs):
 @jax.jit
 def _prepare_branches(branches, blen, bmask, subs):
     Bb, R, S = branches.shape
-    W = _round_up(S + 1, 128)
-    Rp = _round_up(R, 8)
+    pack, Wseg, Rp, W = _kernel_dims(R, S)
     pad_b = (-Bb) % _TILE_B
 
     # ---- per-branch tables (identical to ops/polish.py) ----
@@ -257,26 +334,43 @@ def _prepare_branches(branches, blen, bmask, subs):
          jnp.cumsum(gap_bm, axis=2)], axis=2)                # [B,R,S+1]
     sg = gp[:, :, -1:] - gp
 
-    def pad_brw(x, fill):
-        x = jnp.pad(x, ((0, pad_b), (0, Rp - R),
-                        (0, W - x.shape[2])),
-                    constant_values=fill)
-        return x.astype(jnp.float32)
+    nR = pack * Rp  # total branch slots after packing
+
+    def pack_rows(x, fill, dtype=jnp.float32):
+        """[*, B, R, <=Wseg] per-branch table -> [*, B, Rp, W] lane
+        plane with pack branches per row (branch g*Rp + r at segment
+        g of row r); leading * dims preserved."""
+        lead = x.shape[:-3]
+        b, r, s = x.shape[-3:]
+        x = jnp.pad(x, [(0, 0)] * len(lead)
+                    + [(0, pad_b), (0, nR - r), (0, Wseg - s)],
+                    constant_values=fill).astype(dtype)
+        if pack == 1:
+            return x
+        x = x.reshape(*lead, Bb + pad_b, pack, Rp, Wseg)
+        perm = tuple(range(len(lead))) + (len(lead), len(lead) + 2,
+                                          len(lead) + 1, len(lead) + 3)
+        return x.transpose(perm).reshape(*lead, Bb + pad_b, Rp, W)
 
     # replicate gp's last column into the pad so prefix-max transforms
     # stay exact; sg pad is 0 by the same identity
-    gp_p = jnp.concatenate(
-        [gp, jnp.broadcast_to(gp[:, :, -1:], (Bb, R, W - S - 1))],
+    gp_t = jnp.concatenate(
+        [gp, jnp.broadcast_to(gp[:, :, -1:], (Bb, R, Wseg - S - 1))],
         axis=2)
-    gp_p = jnp.pad(gp_p, ((0, pad_b), (0, Rp - R), (0, 0)))
-    sg_p = pad_brw(sg, 0.0)
-    sw_p = jnp.pad(sw, ((0, 0), (0, pad_b), (0, Rp - R),
-                        (0, W - S))).astype(jnp.float32)
-    # padded branch rows must never win reductions: blen pad = -1
-    blen_p = jnp.pad(blen, ((0, pad_b), (0, Rp - R)),
-                     constant_values=-1).astype(jnp.int32)
+    gp_p = pack_rows(gp_t, 0.0)
+    sg_p = pack_rows(sg, 0.0)
+    sw_p = pack_rows(sw, 0.0)
+    if pack > 1:
+        # per-lane branch-length plane (an in-kernel per-branch select
+        # does not lower through Mosaic); weights stay flat
+        blen_t = jnp.broadcast_to(blen[:, :, None], (Bb, R, Wseg))
+        blen_p = pack_rows(blen_t, -1, jnp.int32)
+    else:
+        # padded branch slots must never win reductions: blen pad = -1
+        blen_p = jnp.pad(blen, ((0, pad_b), (0, nR - R)),
+                         constant_values=-1).astype(jnp.int32)
     bmask_p = jnp.pad(bmask.astype(jnp.float32),
-                      ((0, pad_b), (0, Rp - R)))
+                      ((0, pad_b), (0, nR - R)))
     xgaps = jnp.broadcast_to(subs[:4, 4][None], (8, 4))      # [8, 4]
     return (sw_p, gp_p, sg_p, blen_p, bmask_p, xgaps)
 
@@ -298,10 +392,12 @@ def score_edits_pallas_raw(cand, cand_len, branches, blen, bmask,
                 jnp.asarray(branches, jnp.int32),
                 jnp.asarray(blen, jnp.int32), jnp.asarray(bmask),
                 jnp.asarray(subs, jnp.float32))
+        pack, Wseg, Rp, _ = _kernel_dims(branches.shape[1],
+                                         branches.shape[2])
         return _score_edits_pallas(
             jnp.asarray(cand, jnp.int32), jnp.asarray(cand_len, jnp.int32),
             jnp.asarray(subs, jnp.float32), *prep,
-            interpret=interpret)
+            pack=pack, Wseg=Wseg, interpret=interpret)
 
 
 def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
@@ -320,13 +416,16 @@ def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
                               groups=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("pack", "Wseg", "interpret"))
 def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
-                        blen_p, bmask_p, xgaps,
-                        interpret: bool = False):
+                        blen_p, bmask_p, xgaps, pack: int = 1,
+                        Wseg: int = 0, interpret: bool = False):
     Bb, Cb = cand.shape
     _, Bp, Rp, W = sw_p.shape
-    n_shifts = (W - 1).bit_length()
+    if pack == 1:
+        Wseg = W
+    n_shifts = (Wseg - 1).bit_length()
     pad_b = Bp - Bb
     C1 = Cb + 1
     tile = _pick_tile(Rp, W, C1)
@@ -353,14 +452,19 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
 
     nB = Bp // tile
 
+    kdims = dict(Cb=Cb, n_shifts=n_shifts, pack=pack, Wseg=Wseg, Rp=Rp)
+
     vmem_full = pl.BlockSpec(
         (4, tile, Rp, W), lambda b, t: (0, b, 0, 0),
         memory_space=pltpu.VMEM)
     vmem_brw = pl.BlockSpec(
         (tile, Rp, W), lambda b, t: (b, 0, 0),
         memory_space=pltpu.VMEM)
+    # bmask: flat per-branch weights; blen: flat (pack=1) or lane plane
     vmem_br = pl.BlockSpec(
-        (tile, Rp), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
+        (tile, bmask_p.shape[1]), lambda b, t: (b, 0),
+        memory_space=pltpu.VMEM)
+    vmem_blen = vmem_brw if pack > 1 else vmem_br
     vmem_b1 = pl.BlockSpec(
         (tile, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
     # whole per-lane row span in one block (constant over t; columns
@@ -370,14 +474,14 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
 
     # ---- phase 1: backward rows ----
     bw = pl.pallas_call(
-        functools.partial(_backward_kernel, Cb=Cb, n_shifts=n_shifts),
+        functools.partial(_backward_kernel, **kdims),
         grid=(nB, Cb),
         in_specs=[
             vmem_full, vmem_brw,
             vmem_rows,                                # cand
             vmem_rows,                                # vgap
             vmem_rows,                                # ds
-            vmem_b1, vmem_br,
+            vmem_b1, vmem_blen,
         ],
         out_specs=pl.BlockSpec((1, tile, Rp, W),
                                lambda b, t: (Cb - 1 - t, b, 0, 0),
@@ -398,15 +502,14 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     vmem_rows4 = pl.BlockSpec((4, tile, C1), lambda b, t: (0, b, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_forward_score_kernel, Cb=Cb,
-                          n_shifts=n_shifts),
+        functools.partial(_forward_score_kernel, **kdims),
         grid=(nB, Cb + 2),
         in_specs=[
             vmem_full, vmem_brw, vmem_brw,
             b_row,
             vmem_rows,                                # cand
             vmem_rows,                                # vgap
-            vmem_b1, vmem_br, vmem_br,
+            vmem_b1, vmem_blen, vmem_br,
             pl.BlockSpec((8, 4), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -27,9 +27,14 @@ from flye_tpu.utils.logs import stage_timer
 
 logger = logging.getLogger("flye_tpu")
 
-# (candidate-buffer, branch-buffer) size buckets
-_SIZE_BUCKETS = ((64, 96), (160, 240), (384, 576), (768, 1152),
-                 (1536, 2304))
+# (candidate-buffer, branch-buffer) size buckets.  The 31/63-base
+# branch tiers exist so the dominant fine-partition bubbles (~15-40 bp,
+# the reference's own bubble scale, flye/polishing/bubbles.py:317-359)
+# land in shapes the Pallas kernels can pack 4/2 branches per 128-lane
+# row (ops/polish_pallas.pack_for) instead of padding one short branch
+# to a full row.
+_SIZE_BUCKETS = ((32, 31), (48, 63), (64, 96), (160, 240), (384, 576),
+                 (768, 1152), (1536, 2304))
 _R_BUCKETS = (8, 16, 32, 56)
 _MEM_BUDGET = 1 << 30  # ~1GB of f32 DP tensor per kernel call
 _PRE_POLISH = 5        # median-length branch prepass threshold x2
@@ -86,15 +91,17 @@ def _max_batch(cb: int, sb: int, rb: int) -> int:
     hoisted match planes cost ~6 f32 copies of [cb, sb, branches] per
     lane."""
     import jax
-    groups = max(1, -(-rb // 8))
     if jax.default_backend() == "tpu":
-        from flye_tpu.ops.polish_pallas import fits_vmem
-        if fits_vmem(min(rb, 8), sb, cb):
-            W = -(-(sb + 1) // 128) * 128
+        from flye_tpu.ops.polish_pallas import (_kernel_dims, fits_vmem,
+                                                pack_for)
+        if fits_vmem(min(rb, 8 * pack_for(sb)), sb, cb):
+            pack, _, _, W = _kernel_dims(min(rb, 8 * pack_for(sb)), sb)
+            groups = max(1, -(-rb // (8 * pack)))
             per_lane = cb * groups * 8 * W * 4 * 2
             # measured on the chip: throughput rises through ~8k-lane
             # batches at the fine-bubble shape (6.4k -> 9.9k bubbles/s)
             return max(1, min(8192, (6 << 30) // per_lane))
+    groups = max(1, -(-rb // 8))
     per_lane = cb * sb * groups * 8 * 4 * 6
     return max(1, min(512, _MEM_BUDGET // per_lane))
 

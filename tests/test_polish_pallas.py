@@ -9,10 +9,16 @@ from flye_tpu.ops.polish import _score_edits_jnp, polish_bubbles
 from flye_tpu.ops.polish_pallas import score_edits_pallas
 
 
-@pytest.mark.parametrize("seed", [0, 3])
-def test_score_edits_matches_jnp(seed):
+@pytest.mark.parametrize("seed,shape", [
+    (0, (5, 24, 3, 40)),     # pack=2 (S+1 <= 64)
+    (3, (5, 24, 3, 40)),
+    (1, (4, 20, 12, 28)),    # pack=4 (S+1 <= 32), 12 branches -> 2 rows
+    (2, (4, 20, 18, 60)),    # pack=2, 18 branches -> 2 packed rows + pad
+    (5, (3, 16, 5, 130)),    # pack=1, W=256 (two lane tiles)
+])
+def test_score_edits_matches_jnp(seed, shape):
     rng = np.random.default_rng(seed)
-    B, Cb, R, S = 5, 24, 3, 40
+    B, Cb, R, S = shape
     cand = rng.integers(0, 4, (B, Cb)).astype(np.uint8)
     clen = rng.integers(10, Cb + 1, B).astype(np.int32)
     branches = rng.integers(0, 4, (B, R, S)).astype(np.uint8)
@@ -39,11 +45,13 @@ def test_score_edits_matches_jnp(seed):
             assert diff < 1e-3, (name, diff)
 
 
-def test_polish_bubbles_pallas_path():
+@pytest.mark.parametrize("R", [3, 24])
+def test_polish_bubbles_pallas_path(R):
     """Full hill climb through the interpret-mode kernels converges to
-    the same candidates as the jnp path."""
+    the same candidates as the jnp path.  R=24 exercises the packed
+    grouping (gsz=16 on the pallas path vs 8-branch groups on jnp)."""
     rng = np.random.default_rng(7)
-    B, C, Cb, R, S = 4, 30, 40, 3, 60
+    B, C, Cb, S = 4, 30, 40, 60
     true = rng.integers(0, 4, (B, C)).astype(np.uint8)
     cand = np.zeros((B, Cb), np.uint8)
     cand[:, :C] = true

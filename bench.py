@@ -79,10 +79,12 @@ def bench_polish(B=8192, reps=2, max_iters=24):
         out = polish_bubbles(*args, subs, max_iters=max_iters)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-        # iters[b] records the last not-yet-converged poll; rows that
-        # converge before the first poll report 0 — floor at the poll
-        # stride so the roofline model counts their real work
-        iters_total = int(np.maximum(np.asarray(out[3]), 4).sum())
+        # the device-side convergence loop reports exact per-lane
+        # iteration counts (every lane computes until the LAST lane of
+        # its batch converges — lockstep — so the roofline charges the
+        # batch-max, not the per-lane count)
+        it_arr = np.asarray(out[3])
+        iters_total = int(it_arr.max()) * len(it_arr)
 
     # --- roofline attribution (VPU-bound kernel) ---
     # per bubble-iteration the fused kernels sweep the forward +

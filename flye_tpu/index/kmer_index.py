@@ -496,7 +496,7 @@ class KmerIndex:
         mod = native.get()
         table_bytes = 1 << (2 * self.k)
         if (mod is not None and 2 * self.k <= 34 and
-                (len(kmers) >= (1 << 29) or table_bytes <= (1 << 28))):
+                (len(kmers) >= 150 * 10**6 or table_bytes <= (1 << 28))):
             # flat saturating-counter pass (native; the reference's
             # KmerCounter design, vertex_index.cpp:504-557).  uint8
             # saturation at 255 cannot change the selection: the
@@ -504,12 +504,13 @@ class KmerIndex:
             # count >= 4 is equivalent.  Replaces the full argsort of
             # the k-mer stream — 40 min / 87 Gb peak at 1.46 G k-mers
             # on the 50 Mb run — with two linear passes.  Only engaged
-            # for huge streams (or small tables): below ~500 M k-mers
+            # for large streams (or small tables): below the crossover
             # the 4^k-entry table's first-touch cost loses to the sort
             # (measured at k=17: 10 M kmers flat 105 s vs sort 2.7 s;
-            # 100 M flat 89 s vs 43 s; 200 M flat 144 s vs 169 s), and
-            # the sort path's ~6x int64 workspace still fits this host
-            # comfortably at those sizes.
+            # 100 M flat 89 s vs 43 s; 200 M flat 144 s vs 169 s — the
+            # break-even interpolates to ~150 M), and the sort path's
+            # ~6x int64 workspace still fits this host comfortably at
+            # those sizes.
             freq = np.frombuffer(
                 mod.count_kmer_freqs(
                     np.ascontiguousarray(kmers, dtype=np.int64),

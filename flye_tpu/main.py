@@ -525,23 +525,57 @@ def run_pipeline(args) -> int:
     from flye_tpu.parallel.runtime import get_runtime
     rt = get_runtime()
     coordinator = rt.process_index == 0
-    for i, job in enumerate(jobs):
-        if i < start_from:
-            job.load_state()
-            continue
-        if coordinator:  # workers must not race the checkpoint file
-            job.save_checkpoint()
-        logger.info(">>> STAGE: %s", job.name)
-        job.run()
-        if not coordinator and job.name == "assembly":
-            # multi-host worker processes contribute the data-parallel
-            # ava shard and stop; the coordinator runs the host-plane
-            # stages (SURVEY §7: graph phase on host 0)
-            logger.info("worker process %d finished", rt.process_index)
-            return 0
-        if args.stop_after == job.name:
-            logger.info("Stopped after stage '%s'", job.name)
-            return 0
+    bus = None
+    if rt.process_count > 1:
+        # multi-process file bus: workers serve polish tasks after
+        # contributing their ava shard; the coordinator fans bubble
+        # batches out from any host-plane stage (the reference's analog
+        # is its process pool over bubbles, flye/polishing/bubbles.py:96)
+        import shutil as _sh
+
+        from flye_tpu.parallel.taskbus import TaskBus, set_bus
+        from flye_tpu.polishing.polisher import register_polish_handlers
+        bus_dir = os.path.join(ctx.out_dir, ".taskbus")
+        if coordinator and os.path.isdir(bus_dir):
+            _sh.rmtree(bus_dir)  # stale sentinel/results from a resume
+        bus = TaskBus(bus_dir, rt.process_index)
+        register_polish_handlers(bus, prefer_native=not coordinator)
+        if coordinator:
+            set_bus(bus)
+
+    def _serve_worker():
+        bus.serve()
+        logger.info("worker process %d finished", rt.process_index)
+
+    try:
+        for i, job in enumerate(jobs):
+            if i < start_from:
+                job.load_state()
+                continue
+            if not coordinator and job.name not in ("configure",
+                                                    "assembly"):
+                # worker processes contribute the data-parallel ava
+                # shard, then serve polish tasks from the file bus
+                # until the coordinator finishes (SURVEY §7: graph
+                # phase on host 0)
+                _serve_worker()
+                return 0
+            if coordinator:  # workers must not race the checkpoint file
+                job.save_checkpoint()
+            logger.info(">>> STAGE: %s", job.name)
+            job.run()
+            if args.stop_after == job.name:
+                if not coordinator:
+                    _serve_worker()
+                    return 0
+                logger.info("Stopped after stage '%s'", job.name)
+                return 0
+    finally:
+        if bus is not None and coordinator:
+            bus.shutdown()
+    if not coordinator:
+        _serve_worker()
+        return 0
     logger.info("Final assembly: %s",
                 os.path.join(ctx.out_dir, "assembly.fasta"))
     return 0

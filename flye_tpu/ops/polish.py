@@ -32,10 +32,15 @@ restores the strictly serial reference semantics.
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# tracing the U-row-unrolled Pallas kernels nested inside the
+# convergence while_loop exceeds CPython's default 1000-frame limit
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 NEG = np.float32(-1e30)  # np scalar: no backend init at import
 
@@ -272,6 +277,49 @@ def _polish_step(cand, cand_len, done, streak, it_count,
 _score_raw_jit = jax.jit(_score_edits_raw_jnp)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("pack", "Wseg", "groups", "block_size",
+                              "steepest", "max_iters"))
+def _converge_pallas(cand, cand_len, done, streak, score, iters, subs,
+                     prep, pack: int, Wseg: int, groups: int,
+                     block_size: int, steepest: bool, max_iters: int):
+    """Run the whole hill climb as ONE device program: a lax.while_loop
+    over (Pallas scoring -> edit selection) with an all-lanes-done exit.
+
+    The host loop it replaces polled convergence every few iterations;
+    on a deployment where the chip sits behind a high-latency tunnel
+    each poll is a ~0.4 s blocking round trip, which dominated polish
+    wall time for medium batches.  One dispatch + one final fetch per
+    bucket batch removes that entirely.  (The jnp scoring path keeps
+    the host loop: a loop-carried suffix scan miscompiled under
+    while_loop on this JAX version; the Pallas kernels don't carry that
+    construct.)"""
+    from flye_tpu.ops.polish_pallas import _score_edits_pallas
+
+    def cond(state):
+        it = state[0]
+        return (it < max_iters) & ~jnp.all(state[3])
+
+    def body(state):
+        it, cand, cand_len, done, streak, score, iters = state
+        if groups > 1:
+            cand_s = jnp.repeat(cand, groups, axis=0)
+            clen_s = jnp.repeat(cand_len, groups, axis=0)
+        else:
+            cand_s, clen_s = cand, cand_len
+        raw = _score_edits_pallas(cand_s.astype(jnp.int32), clen_s,
+                                  subs, *prep, pack=pack, Wseg=Wseg)
+        ncand, nlen, ndone, nstreak, total = _select_apply(
+            cand, cand_len, done, streak, it, *raw, groups=groups,
+            block_size=block_size, steepest=steepest)
+        iters = jnp.where(done, iters, it + 1)
+        return (it + 1, ncand, nlen, ndone, nstreak, total, iters)
+
+    state = (jnp.int32(0), cand, cand_len, done, streak, score, iters)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[1], state[2], state[5], state[6]
+
+
 @functools.partial(jax.jit, static_argnames=("groups",))
 def _expand_lanes(cand, cand_len, groups: int):
     return (jnp.repeat(cand, groups, axis=0),
@@ -484,14 +532,21 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     # short branches per 128-lane row (polish_pallas.pack_for), a group
     # carries 8*pack branches so each group still fills exactly 8 rows
     # — halving/quartering the number of group-lanes for the dominant
-    # fine-bubble shapes.
+    # fine-bubble shapes.  The VMEM check runs BEFORE group sizing so a
+    # shape that falls back to the jnp path keeps 8-branch groups (a
+    # packed 16/32-branch group would inflate the jnp footprint beyond
+    # _max_batch's model).
     R, S = branches.shape[1], branches.shape[2]
     maybe_pallas = (jax.default_backend() == "tpu" if use_pallas is None
                     else bool(use_pallas))
     gsz = 8
     if maybe_pallas:
-        from flye_tpu.ops.polish_pallas import pack_for
-        gsz = 8 * pack_for(S)
+        from flye_tpu.ops.polish_pallas import fits_vmem, pack_for
+        gsz_p = 8 * pack_for(S)
+        if fits_vmem(min(R, gsz_p), S, cand.shape[1]):
+            gsz = gsz_p
+        else:
+            maybe_pallas = False
     groups = max(1, -(-R // gsz)) if R > gsz else 1
     if groups > 1:
         B0 = branches.shape[0]
@@ -526,7 +581,6 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     rt = get_runtime()
     done = rt.shard_rows(np.zeros((Bb,), bool))
     streak = rt.shard_rows(np.zeros((Bb,), np.int32))
-    iters = np.zeros(Bb, np.int64)
     score = rt.shard_rows(np.zeros((Bb,), np.float32))
     cand = rt.shard_rows(np.asarray(cand))
     cand_len = rt.shard_rows(np.asarray(cand_len, np.int32))
@@ -534,6 +588,23 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     blen = rt.shard_rows(np.asarray(blen, np.int32))
     bmask = rt.shard_rows(np.asarray(bmask))
     subs = jnp.asarray(subs, jnp.float32)
+
+    import os
+    if use_pallas and not os.environ.get("FLYE_TPU_HOST_POLL"):
+        # whole convergence loop on-device: one dispatch, one fetch
+        from flye_tpu.ops.polish_pallas import _kernel_dims
+        pack, Wseg, _, _ = _kernel_dims(branches.shape[1],
+                                        branches.shape[2])
+        iters0 = rt.shard_rows(np.zeros(Bb, np.int32))
+        with jax.enable_x64(False):  # 64-bit scalars don't lower in Mosaic
+            cand, cand_len, score, iters = _converge_pallas(
+                cand, cand_len, done, streak, score, iters0, subs,
+                tuple(prep), pack=pack, Wseg=Wseg, groups=groups,
+                block_size=block_size, steepest=steepest,
+                max_iters=max_iters)
+        return cand, cand_len, score, iters
+
+    iters = np.zeros(Bb, np.int64)
     # convergence is polled every poll_every iterations: each poll is a
     # blocking device->host sync, while un-polled steps pipeline freely
     # (converged lanes are frozen by their done flag either way)

@@ -6,13 +6,27 @@ multiple passes over them (the 4-character insertion/substitution
 scoring plus the per-row associative scans) — ~10x more HBM traffic
 than the data requires.  These kernels keep each DP row in VMEM:
 
-  phase 1 (backward): one sequential grid walk over candidate rows,
-    carrying the current row in VMEM scratch and resolving the in-row
-    branch-gap dependency with a log-step shift-max (suffix-max trick);
-    only the B rows stream out to HBM.
-  phase 2 (forward + scoring): walks rows forward, carrying F in VMEM
-    (never materialized in HBM), streams each B row in once, and
+  phase 1 (backward): a sequential grid walk over candidate-row BLOCKS
+    (U rows per grid step, descending), carrying the current row in
+    VMEM scratch and resolving the in-row branch-gap dependency with a
+    log-step shift-max (suffix-max trick); only the B rows stream out
+    to HBM.
+  phase 2 (forward + scoring): walks row blocks forward, carrying F in
+    VMEM (never materialized in HBM), streams each B row in once, and
     computes del/ins/sub scores for all 4 characters in the same pass.
+
+Row blocking (round 4): with one candidate row per grid step the
+per-step work is a handful of [tile, 8, 128] elementwise ops (~1 us of
+VPU time) against ~2 us of fixed per-step cost (sequential carry
+dependency + grid bookkeeping), which capped the kernel at 2.5-6% of
+the VPU roofline (BENCH_r03).  Each grid step now processes U rows
+(U and the batch tile are chosen jointly by `_pick_tile` to maximize
+tile*U under the VMEM budget), amortizing the fixed cost ~U*tile/32 x.
+The backward tensor stores Cbp = ceil((Cb+2)/U)*U rows where row j
+holds B[j] (rows j >= Cb hold the base row sg), so phase 2's U-row
+input blocks never need cross-block row reads: position i = t*U+u-1
+takes B[i+1] from block lane u and B[i] from the previous lane (the
+step carry for u=0).
 
 Branch packing (round 3): the production bubbles are short (~15-40 bp
 branches, the reference's own fine-partition scale,
@@ -21,9 +35,8 @@ one branch per row wastes 2-4x of every vector op.  For branch buffers
 with S+1 <= 64 (resp. 32), `pack` = 2 (resp. 4) branches share each
 128-lane row as independent Wseg-lane segments: shifts and the
 prefix/suffix-max scans mask at segment boundaries, per-branch maxima
-are read off segment-start lanes after an in-segment suffix-max, and
-branch r of segment g is branch index g*Rp + r.  Packing multiplies
-measured fine-bubble throughput by ~pack (the kernel is lane-bound).
+are read off segment slices, and branch r of segment g is branch index
+g*Rp + r.
 
 Semantics match ops/polish.py's forward_rows/backward_rows/scoring
 exactly (same masks, same NEG padding); the only difference is
@@ -44,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-_TILE_B = 32  # batch padding granularity (tiles may be up to 64)
+_TILE_B = 128  # batch padding granularity (max batch tile)
 
 
 def pack_for(S: int) -> int:
@@ -56,23 +69,34 @@ def pack_for(S: int) -> int:
     return 1
 
 
-def _pick_tile(Rp: int, W: int, C1: int) -> int:
-    """Largest batch tile whose VMEM working set fits on-chip.
+def _vmem_bytes(tile: int, U: int, Rp: int, W: int, C1: int) -> int:
+    """Working-set model (calibrated against Mosaic scoped-allocation
+    reports): double-buffered branch-table input blocks (sw 4 + gp + sg
+    = 6 planes x2), the U-row backward block x2, carry/bprev scratch,
+    and ~8 live compute temporaries — all [tile, Rp, W] f32 — plus the
+    double-buffered per-row blocks (cand/vgap/ds inputs and the
+    del + 4-char ins/sub score outputs, [tile, C1])."""
+    planes = (22 + 2 * U) * tile * Rp * W * 4
+    rows = 26 * tile * C1 * 4
+    return planes + rows + 2048 * tile
 
-    Working-set model (calibrated against Mosaic scoped-allocation
-    reports): ~20 [tile, Rp, W] f32 planes (match tables, gap tables,
-    streamed B rows with double buffering, F carry, shift-max and
-    4-char loop temporaries) plus the double-buffered score outputs
-    (del + 4-char ins/sub planes = 9 x [tile, C1]).  The observed OOM
-    margin is thin (a (32, 8, 640, 385) bucket measured 16.19M against
-    the 16M scoped-VMEM limit), so budget 13 MB.  Returns None if no
-    tile fits (caller falls back to the jnp/XLA scoring path)."""
-    for tile in (128, 64, 32, 16, 8):
-        planes = 20 * tile * Rp * W * 4
-        outs = 2 * 9 * tile * C1 * 4
-        if planes + outs <= 13 * 1024 * 1024:
-            return tile
-    return None
+
+def _pick_tile(Rp: int, W: int, C1: int):
+    """(tile, U): batch tile and rows-per-grid-step maximizing tile*U
+    (the per-step work that amortizes the fixed sequential-step cost)
+    under a 13 MB VMEM budget (the observed Mosaic margin against the
+    16 MB scoped limit is thin).  Returns None if nothing fits (caller
+    falls back to the jnp/XLA scoring path)."""
+    best = None
+    best_key = None
+    for U in (8, 4, 2, 1):
+        for tile in (128, 64, 32, 16, 8):
+            if _vmem_bytes(tile, U, Rp, W, C1) <= 13 * 1024 * 1024:
+                key = (tile * U, tile)
+                if best is None or key > best_key:
+                    best, best_key = (tile, U), key
+                break  # smaller tiles only lower the product
+    return best
 
 
 def _kernel_dims(R: int, S: int):
@@ -154,14 +178,16 @@ def _sel_match(cx, sw):
 
 def _col(ref, i):
     """Column i of a [TB, C] block as a [TB] vector (iota-masked sum —
-    Mosaic cannot lower dynamic lane-dimension slices)."""
+    Mosaic cannot lower dynamic lane-dimension slices).  Out-of-range i
+    yields zeros."""
     row = ref[:]
     jj = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     return jnp.sum(jnp.where(jj == i, row, 0), axis=1)
 
 
 def _setcol(ref, i, val):
-    """Write val [TB] into column i of a [TB, C] block."""
+    """Write val [TB] into column i of a [TB, C] block (no-op when i is
+    out of range)."""
     jj = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 1)
     ref[:] = jnp.where(jj == i, val[:, None], ref[:])
 
@@ -176,21 +202,16 @@ def _setcol3(ref, x, i, val):
 
 def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
                      clen_ref, blen_ref, out_ref, carry, *, Cb: int,
-                     n_shifts: int, pack: int, Wseg: int, Rp: int):
+                     n_shifts: int, pack: int, Wseg: int, Rp: int,
+                     U: int):
+    """Grid step t computes backward rows j = k*U+U-1 .. k*U descending
+    (k = nT-1-t) into the U-row output block; storage row j holds B[j],
+    rows j >= Cb hold the base row sg."""
     t = pl.program_id(1)
-    i = Cb - 1 - t
-
-    @pl.when(t == 0)
-    def _():
-        carry[:] = sg_ref[:]
-
-    nxt = carry[:]
+    nT = pl.num_programs(1)
+    k = nT - 1 - t
     sg = sg_ref[:]
-    TB, R, W = nxt.shape
-    cx = _col(cand_ref, i)
-    match = _sel_match(cx, sw_ref[:])
-    vg = _col(vgap_ref, i)[:, None, None]
-    dsi = _col(ds_ref, i)[:, None, None]
+    TB, R, W = sg.shape
     jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
     if pack > 1:
         # blen_ref is a precomputed [TB, Rp, W] lane plane (packed)
@@ -201,17 +222,31 @@ def _backward_kernel(sw_ref, sg_ref, cand_ref, vgap_ref, ds_ref,
         jmod = None
         blen3 = blen_ref[:][:, :, None]
         jmod_eff = jpos
+    clen = clen_ref[:, 0]
+    sw = sw_ref[:]
 
-    diag = jnp.where(jmod_eff < blen3,
-                     _shift_l(nxt, NEG, jmod, Wseg) + match, NEG)
-    tmp = jnp.maximum(diag, nxt + vg)
-    tmp = jnp.where(jmod_eff <= blen3, tmp, NEG)
-    row = _suffix_max(tmp - sg, n_shifts, jmod, Wseg) + sg
-    in_range = (i < clen_ref[:, 0])[:, None, None]
-    row = jnp.where(in_range, row, sg)
-    row = jnp.where(jmod_eff <= blen3, row, dsi)
-    carry[:] = row
-    out_ref[0] = row
+    # at t == 0 the first rows processed have j >= Cb and select sg
+    # regardless of the (uninitialized) carry, so no explicit init
+    nxt = carry[:]
+    for u in range(U - 1, -1, -1):
+        j = k * U + u
+        cx = _col(cand_ref, j)
+        match = _sel_match(cx, sw)
+        vg = _col(vgap_ref, j)[:, None, None]
+        dsi = _col(ds_ref, j)[:, None, None]
+        diag = jnp.where(jmod_eff < blen3,
+                         _shift_l(nxt, NEG, jmod, Wseg) + match, NEG)
+        tmp = jnp.maximum(diag, nxt + vg)
+        tmp = jnp.where(jmod_eff <= blen3, tmp, NEG)
+        row = _suffix_max(tmp - sg, n_shifts, jmod, Wseg) + sg
+        in_range = (j < clen)[:, None, None]
+        row = jnp.where(in_range, row, sg)
+        row = jnp.where(jmod_eff <= blen3, row, dsi)
+        # rows at/beyond the candidate buffer are the base row exactly
+        row = jnp.where(j >= Cb, sg, row)
+        out_ref[u] = row
+        nxt = row
+    carry[:] = nxt
 
 
 def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
@@ -219,22 +254,23 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
                           bmask_ref, xgap_ref,
                           del_ref, ins4_ref, sub4_ref, total_ref,
                           carry, bprev, *, Cb: int, n_shifts: int,
-                          pack: int, Wseg: int, Rp: int):
-    """Grid step t loads ONE backward row (B[t], clamped to Cb-1) and
-    scores position i = t - 1 against (B[i] carried in scratch from the
-    previous step, B[i+1] just loaded).  Streaming the backward tensor
-    once instead of twice (the b_row(0)/b_row(1) formulation) removes
-    ~40% of this pass's HBM traffic — its dominant cost."""
+                          pack: int, Wseg: int, Rp: int, U: int):
+    """Grid step t scores positions i = t*U-1 .. t*U+U-2 (i = -1 is the
+    init slot; i > Cb are no-ops since the masked column writes miss).
+    The U-row input block holds B[t*U .. t*U+U-1]: B[i+1] is block lane
+    u, B[i] the previous lane (carried across steps for u = 0).
+    Streaming the backward tensor exactly once this way keeps phase 2's
+    HBM traffic at its floor."""
     t = pl.program_id(1)
     sg = sg_ref[:]
+    gp = gp_ref[:]
     TBs, Rs, Ws = sg.shape
     jpos = jax.lax.broadcasted_iota(jnp.int32, (TBs, Rs, Ws), 2)
     if pack > 1:
         # blen_ref is a precomputed [TB, Rp, W] lane plane; bmask_ref
         # stays a flat [TB, pack*Rp] branch-weight block.  Per-branch
         # maxima come from static lane slices (one Wseg-wide segment
-        # per packed branch) + a plain max-reduce — much cheaper than
-        # an in-segment suffix-max scan.
+        # per packed branch) + a plain max-reduce.
         jmod = jpos & (Wseg - 1)
         blen3 = blen_ref[:]
         bflat = bmask_ref[:]
@@ -256,56 +292,53 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
         def reduce_wmax(x):
             return jnp.sum(jnp.max(x, axis=2) * bmaskf, axis=1)
 
-    @pl.when(t == 0)
-    def _():
-        carry[:] = gp_ref[:]
-        # B[0]; for an empty candidate (Cb row range never entered in
-        # backward) the loaded row equals the base row anyway
-        B0 = b_ref[0]
-        bprev[:] = B0
-        if pack > 1:
-            # per-branch position-0 value = segment max of B0 with all
-            # non-start lanes pushed to NEG
-            tot = reduce_wmax(jnp.where(jmod == 0, B0, NEG))
-        else:
-            tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
-        total_ref[:] = jnp.broadcast_to(tot[:, None], total_ref.shape)
+    jmask = jnp.where(jmod_eff <= blen3, 0.0, NEG)
+    sw = sw_ref[:]
 
-    @pl.when(t > 0)
-    def _():
-        i = t - 1
-        F = carry[:]
-        jmask = jnp.where(jmod_eff <= blen3, 0.0, NEG)
+    F = carry[:]
+    Bi = bprev[:]
+    for u in range(U):
+        i = t * U + u - 1
+        B1 = b_ref[u]                                # B[i+1]
+        is_init = i == -1
 
-        B0 = bprev[:]                               # B[i]
-        # B[i+1]; indices beyond Cb-1 resolve to the base row sg
-        B1 = jnp.where(i + 1 <= Cb - 1, b_ref[0], sg)
+        @pl.when(is_init)
+        def _():
+            # total score = B[0][0] per branch
+            if pack > 1:
+                tot = reduce_wmax(jnp.where(jmod == 0, B1, NEG))
+            else:
+                tot = jnp.sum(B1[:, :, 0] * bmaskf, axis=1)
+            total_ref[:] = jnp.broadcast_to(tot[:, None],
+                                            total_ref.shape)
+
+        F = jnp.where(is_init, gp, F)
 
         # raw per-char sums only: position-validity and cand!=x masks
         # are per-lane and apply after the branch-group reduction
-        # (ops/polish._finish_scores)
+        # (ops/polish._finish_scores).  Column writes at i < 0 or
+        # i >= C1 miss every lane, so init/pad slots are no-ops.
         _setcol(del_ref, i, reduce_wmax(F + (B1 + jmask)))
 
         cx = _col(cand_ref, i)
-        B0m = B0 + jmask
+        B0m = Bi + jmask
         B1m = B1 + jmask
         for x in range(4):
-            mx = sw_ref[x]
+            mx = sw[x]
             xg = xgap_ref[0, x]
             subx = jnp.maximum(_shift_r(F + mx, NEG, jmod), F + xg)
             _setcol3(ins4_ref, x, i, reduce_wmax(subx + B0m))
             _setcol3(sub4_ref, x, i, reduce_wmax(subx + B1m))
 
-        bprev[:] = B1
-
         # advance F -> next row (uses this row's candidate character)
-        @pl.when(i < Cb)
-        def _():
-            gp = gp_ref[:]
-            match = _sel_match(cx, sw_ref[:])
-            vg = _col(vgap_ref, i)[:, None, None]
-            tmp = jnp.maximum(_shift_r(F + match, NEG, jmod), F + vg)
-            carry[:] = _prefix_max(tmp - gp, n_shifts, jmod) + gp
+        match = _sel_match(cx, sw)
+        vg = _col(vgap_ref, i)[:, None, None]
+        tmp = jnp.maximum(_shift_r(F + match, NEG, jmod), F + vg)
+        Fn = _prefix_max(tmp - gp, n_shifts, jmod) + gp
+        F = jnp.where((i >= 0) & (i < Cb), Fn, F)
+        Bi = B1
+    carry[:] = F
+    bprev[:] = Bi
 
 
 def prepare_branches_pallas(branches, blen, bmask, subs):
@@ -428,13 +461,16 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     n_shifts = (Wseg - 1).bit_length()
     pad_b = Bp - Bb
     C1 = Cb + 1
-    tile = _pick_tile(Rp, W, C1)
-    if tile is None:
+    picked = _pick_tile(Rp, W, C1)
+    if picked is None:
         raise ValueError(
             f"bucket Rp={Rp} W={W} exceeds VMEM even at tile 8; "
             "guard calls with fits_vmem()")
+    tile, U = picked
     while tile > 8 and Bp % tile:  # grid tiles must divide the batch
         tile //= 2
+    nT = -(-(Cb + 2) // U)  # row blocks; storage rows Cbp = nT*U
+    Cbp = nT * U
 
     c1h = jax.nn.one_hot(cand, 4, dtype=jnp.float32)
     vgap_all = jnp.einsum("bcx,x->bc", c1h, subs[:4, 4])
@@ -452,7 +488,8 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
 
     nB = Bp // tile
 
-    kdims = dict(Cb=Cb, n_shifts=n_shifts, pack=pack, Wseg=Wseg, Rp=Rp)
+    kdims = dict(Cb=Cb, n_shifts=n_shifts, pack=pack, Wseg=Wseg,
+                 Rp=Rp, U=U)
 
     vmem_full = pl.BlockSpec(
         (4, tile, Rp, W), lambda b, t: (0, b, 0, 0),
@@ -472,10 +509,10 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     vmem_rows = pl.BlockSpec(
         (tile, C1), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
 
-    # ---- phase 1: backward rows ----
+    # ---- phase 1: backward rows, U per grid step, descending ----
     bw = pl.pallas_call(
         functools.partial(_backward_kernel, **kdims),
-        grid=(nB, Cb),
+        grid=(nB, nT),
         in_specs=[
             vmem_full, vmem_brw,
             vmem_rows,                                # cand
@@ -483,27 +520,24 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
             vmem_rows,                                # ds
             vmem_b1, vmem_blen,
         ],
-        out_specs=pl.BlockSpec((1, tile, Rp, W),
-                               lambda b, t: (Cb - 1 - t, b, 0, 0),
+        out_specs=pl.BlockSpec((U, tile, Rp, W),
+                               lambda b, t, nT=nT: (nT - 1 - t, b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Cb, Bp, Rp, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cbp, Bp, Rp, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile, Rp, W), jnp.float32)],
         interpret=interpret,
     )(sw_p, sg_p, cand_pad, vgap_pad, ds_pad, clen_p, blen_p)
 
-    # ---- phase 2: forward + scoring ----
-    # step t streams ONE backward row B[min(t, Cb-1)]; B[i] for the
-    # position being scored (i = t-1) carries over in scratch
+    # ---- phase 2: forward + scoring, U positions per grid step ----
     b_row = pl.BlockSpec(
-        (1, tile, Rp, W),
-        lambda b, t: (jnp.minimum(t, Cb - 1), b, 0, 0),
+        (U, tile, Rp, W), lambda b, t: (t, b, 0, 0),
         memory_space=pltpu.VMEM)
 
     vmem_rows4 = pl.BlockSpec((4, tile, C1), lambda b, t: (0, b, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_forward_score_kernel, **kdims),
-        grid=(nB, Cb + 2),
+        grid=(nB, nT),
         in_specs=[
             vmem_full, vmem_brw, vmem_brw,
             b_row,

@@ -106,35 +106,46 @@ def _max_batch(cb: int, sb: int, rb: int) -> int:
     return max(1, min(512, _MEM_BUDGET // per_lane))
 
 
+def _pack_chunk(chunk: List[Tuple[Bubble, List[np.ndarray]]],
+                cb: int, sb: int, rb: int, B: int):
+    """Pack a chunk of (bubble, branches) into padded kernel arrays."""
+    cand = np.zeros((B, cb), np.uint8)
+    clen = np.zeros(B, np.int32)
+    branches = np.zeros((B, rb, sb), np.uint8)
+    blen = np.zeros((B, rb), np.int32)
+    bmask = np.zeros((B, rb), bool)
+    for i in range(B):
+        # pad lanes replicate item 0 so they converge like real work
+        b, brs = chunk[i] if i < len(chunk) else chunk[0]
+        seq = b.polished if b.polished is not None else b.candidate
+        n = min(len(seq), cb)
+        cand[i, :n] = seq[:n]
+        clen[i] = n
+        for r, br in enumerate(brs[:rb]):
+            m = min(len(br), sb)
+            branches[i, r, :m] = br[:m]
+            blen[i, r] = m
+            bmask[i, r] = True
+    return cand, clen, branches, blen, bmask
+
+
+def _quantize_batch(n: int, max_b: int) -> int:
+    """Quantize batches so short tail chunks reuse compiled shapes."""
+    for q in (32, 128, 512):
+        if n <= q <= max_b:
+            return q
+    return n
+
+
 def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
                 cb: int, sb: int, rb: int, subs: np.ndarray) -> None:
     """Polish a homogeneous bucket of bubbles in device batches."""
     max_b = _max_batch(cb, sb, rb)
     for lo in range(0, len(items), max_b):
         chunk = items[lo:lo + max_b]
-        # quantize the batch so short tail chunks reuse compiled shapes
-        B = len(chunk)
-        for q in (32, 128, 512):
-            if B <= q <= max_b:
-                B = q
-                break
-        cand = np.zeros((B, cb), np.uint8)
-        clen = np.zeros(B, np.int32)
-        branches = np.zeros((B, rb, sb), np.uint8)
-        blen = np.zeros((B, rb), np.int32)
-        bmask = np.zeros((B, rb), bool)
-        for i in range(B):
-            # pad lanes replicate item 0 so they converge like real work
-            b, brs = chunk[i] if i < len(chunk) else chunk[0]
-            seq = b.polished if b.polished is not None else b.candidate
-            n = min(len(seq), cb)
-            cand[i, :n] = seq[:n]
-            clen[i] = n
-            for r, br in enumerate(brs[:rb]):
-                m = min(len(br), sb)
-                branches[i, r, :m] = br[:m]
-                blen[i, r] = m
-                bmask[i, r] = True
+        B = _quantize_batch(len(chunk), max_b)
+        cand, clen, branches, blen, bmask = _pack_chunk(
+            chunk, cb, sb, rb, B)
         import time
         t0 = time.perf_counter()
         out_c, out_l, score, iters = polish_bubbles(
@@ -149,6 +160,86 @@ def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
             int(np.median(it_h)), int(it_h.max()))
         for i, (b, _) in enumerate(chunk):
             b.polished = out_c[i, :out_l[i]].copy()
+
+
+# ---- multi-process fan-out over the file bus ----
+
+_task_seq = [0]
+
+
+def _polish_task(payload, prefer_native: bool):
+    """Bus handler: polish one packed chunk.  Workers prefer the
+    threaded native CPU climber (their jax backend may be a device
+    shared with the coordinator); the coordinator runs its normal
+    device path."""
+    cand = payload["cand"]
+    clen = payload["clen"]
+    branches = payload["branches"]
+    blen = payload["blen"]
+    bmask = payload["bmask"].astype(bool)
+    subs = payload["subs"]
+    max_iters = int(payload["max_iters"])
+    out = None
+    if prefer_native:
+        from flye_tpu.ops.polish import _polish_bubbles_native
+        out = _polish_bubbles_native(cand, clen, branches, blen, bmask,
+                                     subs, max_iters)
+    if out is None:
+        out = polish_bubbles(cand, clen, branches, blen, bmask, subs,
+                             max_iters=max_iters)
+    return {"cand": np.asarray(out[0]), "clen": np.asarray(out[1])}
+
+
+def register_polish_handlers(bus, prefer_native: bool) -> None:
+    bus.register("polish",
+                 lambda p: _polish_task(p, prefer_native=prefer_native))
+
+
+def _run_phase_bus(bus, items: Dict[Tuple[int, int, int], List],
+                   subs: np.ndarray) -> None:
+    """Fan a whole phase's buckets out over the task bus: submit every
+    chunk (bounded size for work-stealing balance between the
+    coordinator's chip and CPU workers), then collect — the coordinator
+    claims and processes pending chunks itself while waiting.
+
+    NOTE on determinism: worker chunks run the native CPU climber whose
+    edit schedule differs from the device kernel's block-parallel one;
+    on tie cases the two converge to different (equally scoring) local
+    optima, so a heterogeneous multi-process run is NOT guaranteed
+    byte-identical to a single-process device run.  Homogeneous-backend
+    runs (the CPU jig in tests/test_multihost.py) are byte-identical by
+    construction."""
+    tasks = []
+    for (cb, sb, rb), lst in sorted(items.items()):
+        max_b = min(_max_batch(cb, sb, rb), 2048)
+        for lo in range(0, len(lst), max_b):
+            chunk = lst[lo:lo + max_b]
+            B = _quantize_batch(len(chunk), max_b)
+            cand, clen, branches, blen, bmask = _pack_chunk(
+                chunk, cb, sb, rb, B)
+            tid = f"t{_task_seq[0]}"
+            _task_seq[0] += 1
+            bus.submit("polish", tid, dict(
+                cand=cand, clen=clen, branches=branches, blen=blen,
+                bmask=bmask.astype(np.uint8), subs=subs,
+                max_iters=np.int32(2 * cb)))
+            tasks.append((tid, chunk))
+    results = bus.collect("polish", [t for t, _ in tasks])
+    for tid, chunk in tasks:
+        out_c, out_l = results[tid]["cand"], results[tid]["clen"]
+        for i, (b, _) in enumerate(chunk):
+            b.polished = out_c[i, :out_l[i]].copy()
+
+
+def _run_phase(items: Dict[Tuple[int, int, int], List],
+               subs: np.ndarray) -> None:
+    from flye_tpu.parallel.taskbus import get_bus
+    bus = get_bus()
+    if bus is not None:
+        _run_phase_bus(bus, items, subs)
+        return
+    for (cb, sb, rb), lst in sorted(items.items()):
+        _run_bucket(lst, cb, sb, rb, subs)
 
 
 def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
@@ -169,8 +260,7 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
             cb, sb = _bucket_for(len(b.candidate),
                                  max(len(x) for x in sel))
             items.setdefault((cb, sb, 8), []).append((b, sel))
-        for (cb, sb, rb), lst in sorted(_coalesce(items).items()):
-            _run_bucket(lst, cb, sb, rb, subs)
+        _run_phase(_coalesce(items), subs)
 
     # phase 2: all branches
     items = {}
@@ -182,8 +272,7 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
         rb = next((r for r in _R_BUCKETS if len(b.branches) <= r),
                   _R_BUCKETS[-1])
         items.setdefault((cb, sb, rb), []).append((b, b.branches))
-    for (cb, sb, rb), lst in sorted(_coalesce(items).items()):
-        _run_bucket(lst, cb, sb, rb, subs)
+    _run_phase(_coalesce(items), subs)
 
     # phase 3: homopolymer + dinucleotide re-estimation (reference:
     # HomoPolisher / DinucleotideFixer applied per bubble after the

@@ -89,22 +89,23 @@ def test_polish_bubbles_pallas_path(R):
 
 
 def test_pick_tile_vmem_budget():
-    """Buckets observed to exceed the 16 MB scoped-VMEM limit at tile 32
-    (E. coli 30x E2E: long bubbles W=1280, and a (32, 8, 640, 385)
-    bucket that measured 16.19M with the per-char output planes) must
-    get a smaller batch tile; small buckets keep the full tile."""
-    from flye_tpu.ops.polish_pallas import _pick_tile, fits_vmem
-    assert _pick_tile(8, 1280, 769) < 32
-    assert _pick_tile(8, 640, 385) < 32       # the 16.19M offender
-    assert _pick_tile(32, 256, 385) < 32
-    assert _pick_tile(16, 256, 129) == 32
+    """Buckets observed to exceed the 16 MB scoped-VMEM limit (E. coli
+    30x E2E: long bubbles W=1280, and a (32, 8, 640, 385) bucket that
+    measured 16.19M with the per-char output planes) must stay inside
+    the 13 MB model budget; the production short-bubble shapes must get
+    large per-step work (tile*U) to amortize the sequential-step cost."""
+    from flye_tpu.ops.polish_pallas import (_pick_tile, _vmem_bytes,
+                                            fits_vmem)
+    for rp, w, c1 in [(8, 1280, 769), (8, 640, 385), (32, 256, 385),
+                      (16, 256, 129)]:
+        tile, U = _pick_tile(rp, w, c1)
+        assert _vmem_bytes(tile, U, rp, w, c1) <= 13 * 1024 * 1024
     # 56-branch 640-wide buckets exceed VMEM at any tile -> jnp path
     # (branch-group tiling in polish_bubbles avoids this in practice)
     assert _pick_tile(56, 640, 385) is None
     assert not fits_vmem(50, 620, 384)
     assert fits_vmem(16, 255, 128)
-    for rp, w, c1 in [(8, 1280, 769), (32, 256, 385), (16, 256, 129)]:
-        tile = _pick_tile(rp, w, c1)
-        assert tile in (8, 16, 32)
-        assert (20 * tile * rp * w + 72 * tile * c1) * 4 \
-            <= 13 * 1024 * 1024
+    # dominant production shape (Rp=8 groups, W=128): per-step work
+    # must be >= 16x the round-3 tile-32 x 1-row baseline
+    tile, U = _pick_tile(8, 128, 65)
+    assert tile * U >= 512

@@ -495,7 +495,19 @@ class KmerIndex:
         from flye_tpu import native
         mod = native.get()
         table_bytes = 1 << (2 * self.k)
-        if (mod is not None and 2 * self.k <= 34 and
+        if (mod is not None and hasattr(mod, "count_kmer_freqs_radix")
+                and len(kmers) < 500 * 10**6):
+            # threaded radix-sort exact counting — linear time, ~28
+            # bytes/key workspace; beats the numpy argsort at every
+            # size (measured 10 M keys: 0.2 s vs 4.0 s) and the flat
+            # 4^k table below ~500 M keys (its ~8-17 GB first touch);
+            # above that the flat counter's fixed table wins on memory
+            freq = np.frombuffer(
+                mod.count_kmer_freqs_radix(
+                    np.ascontiguousarray(kmers, dtype=np.int64),
+                    int(self.k)),
+                np.int32).astype(np.int64)
+        elif (mod is not None and 2 * self.k <= 34 and
                 (len(kmers) >= 150 * 10**6 or table_bytes <= (1 << 28))):
             # flat saturating-counter pass (native; the reference's
             # KmerCounter design, vertex_index.cpp:504-557).  uint8
@@ -539,10 +551,25 @@ class KmerIndex:
         # instead: thr = max(global_min, min(4, select_rate * p90)),
         # which adapts to each read's abundance (meta) while never
         # gapping an isolate.
-        sel_mask = np.zeros(len(kmers), dtype=bool)
         read_starts = np.flatnonzero(
             np.concatenate([[True], seq[1:] != seq[:-1]]))
         read_ends = np.concatenate([read_starts[1:], [len(kmers)]])
+        if mod is not None and hasattr(mod, "select_solid_kmers"):
+            # threaded native selection (the Python per-read loop was
+            # ~40% of the bench-scale build wall)
+            bounds = np.concatenate(
+                [read_starts, [len(kmers)]]).astype(np.int64)
+            sel_mask = np.frombuffer(
+                mod.select_solid_kmers(
+                    np.ascontiguousarray(kmers, dtype=np.int64),
+                    np.ascontiguousarray(freq, dtype=np.int32),
+                    np.ascontiguousarray(bounds),
+                    float(select_rate), int(tandem_freq),
+                    int(global_min_freq)),
+                np.uint8).astype(bool)
+            return (kmers[sel_mask], seq[sel_mask], pos[sel_mask],
+                    flip[sel_mask])
+        sel_mask = np.zeros(len(kmers), dtype=bool)
         for s, e in zip(read_starts, read_ends):
             f = freq[s:e]
             # nearest-rank p90 (matches the device program exactly)

@@ -187,7 +187,7 @@ class JobConsensus(Job):
         mb = (self.ctx.cfg.polish_max_bubble
               if "polish_max_bubble" in self.ctx.cfg else None)
         consensus = polish(pairs, reads, self.ctx.platform, num_iters=1,
-                           max_bubble=mb)
+                           max_bubble=mb, trim_ends=True)
         consensus = [(n, s) for n, s in consensus if len(s)]
         write_fasta(consensus, self.out_files["consensus"])
 
@@ -395,7 +395,7 @@ class JobPolishing(Job):
         polished, coverage = polish(
             pairs, reads, self.ctx.platform,
             num_iters=self.ctx.args.iterations,
-            return_coverage=True, max_bubble=mb)
+            return_coverage=True, max_bubble=mb, trim_ends=True)
 
         # final coverage filtering (reference: polish.py:210-261)
         covs = [coverage.get(n, 0) for n, _ in polished]

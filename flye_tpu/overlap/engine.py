@@ -122,6 +122,12 @@ class OverlapEngine:
         # kernel's bounded window because host_dp_max <= lookback);
         # wider groups run the Pallas kernel.  See _batch_fast.
         self.host_dp_max = min(1024, _LOOKBACK)
+        # index probe path: "host" (native, the measured winner on the
+        # tunnel deployment), "device", or "auto" (measure both on the
+        # first real batch and latch the winner — for deployments where
+        # the split is unknown, e.g. a local chip without the tunnel's
+        # ~0.4 s dispatch latency).  FLYE_TPU_PROBE overrides.
+        self._probe_path: Optional[str] = None
         # mapping mode keeps every chain anchor (needed for window
         # partitioning); assembly thins to >k spacing like the
         # reference's kept-alignment trace
@@ -375,6 +381,24 @@ class OverlapEngine:
 
     # ------------------------------------------------------------------
 
+    def _probe_choice(self) -> str:
+        """Resolve the probe path for this batch: a latched choice, the
+        FLYE_TPU_PROBE env override (host|device|auto), or the default
+        'host' (the measured winner on this deployment — SCALE.md round
+        3: native ~10 Mb/s vs device ~1 Mb/s gather-bound through the
+        tunnel).  'auto' measures both paths once (see _batch_fast)."""
+        if self._probe_path is not None:
+            return self._probe_path
+        import os
+        env = os.environ.get("FLYE_TPU_PROBE", "").lower()
+        if env in ("host", "device"):
+            self._probe_path = env
+            return env
+        if env == "auto":
+            return "measure"
+        self._probe_path = "host"
+        return "host"
+
     def _batch_fast(self, mod, query_store, sids, force_local,
                     max_overlaps, symmetric):
         """Native-assisted batch path: the device probes the index
@@ -393,9 +417,45 @@ class OverlapEngine:
         if nq == 0:
             return results
         lengths = [query_store.length(s) for s in sids]
+        probe_res = None
         with _phase("probe"):
-            probe_res = self.index.probe_stream_host(query_store, sids)
-        if probe_res is None:  # sharded (mesh) index: device probe
+            choice = self._probe_choice()
+            if choice == "measure":
+                # self-tuning: time BOTH paths on this first real batch
+                # and latch the winner for the run.  The split is
+                # deployment-dependent: behind the remote tunnel the
+                # native host probe wins ~10x (measured round 3); on
+                # local TPU hardware large device probe batches should
+                # win.  Outputs are byte-identical
+                # (tests/test_overlap_native.py), so either result is
+                # usable and determinism is unaffected.
+                import time as _time
+                t0 = _time.perf_counter()
+                host_res = self.index.probe_stream_host(query_store,
+                                                        sids)
+                t_host = _time.perf_counter() - t0
+                if host_res is None:
+                    self._probe_path = "device"
+                else:
+                    with _DEVICE_LOCK:
+                        # warm (compile) then measure one device pass
+                        self.index.probe_stream_flat(query_store, sids)
+                        t0 = _time.perf_counter()
+                        self.index.probe_stream_flat(query_store, sids)
+                        t_dev = _time.perf_counter() - t0
+                    self._probe_path = ("host" if t_host <= t_dev
+                                        else "device")
+                    logger.info(
+                        "probe path auto-tune: host %.2fs vs device "
+                        "%.2fs per batch -> %s", t_host, t_dev,
+                        self._probe_path)
+                    if self._probe_path == "host":
+                        probe_res = host_res
+                choice = self._probe_path
+            elif choice == "host":
+                probe_res = self.index.probe_stream_host(query_store,
+                                                         sids)
+        if probe_res is None:  # device-preferred or sharded (mesh) index
             with _phase("probe"), _DEVICE_LOCK:
                 probe_res = self.index.probe_stream_flat(query_store,
                                                          sids)

@@ -139,27 +139,44 @@ def _quantize_batch(n: int, max_b: int) -> int:
 
 def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
                 cb: int, sb: int, rb: int, subs: np.ndarray) -> None:
-    """Polish a homogeneous bucket of bubbles in device batches."""
+    """Polish a homogeneous bucket of bubbles in device batches.
+
+    Depth-2 pipeline: the next chunk is packed and its device program
+    dispatched BEFORE the previous chunk's results are fetched — JAX's
+    async dispatch then overlaps host packing + input transfer with the
+    on-device convergence loop (the fetch is the only blocking point;
+    on this deployment the input transfer rides a ~30 MB/s tunnel and
+    was a comparable cost to the compute itself)."""
+    import time
+
     max_b = _max_batch(cb, sb, rb)
-    for lo in range(0, len(items), max_b):
-        chunk = items[lo:lo + max_b]
-        B = _quantize_batch(len(chunk), max_b)
-        cand, clen, branches, blen, bmask = _pack_chunk(
-            chunk, cb, sb, rb, B)
-        import time
-        t0 = time.perf_counter()
-        out_c, out_l, score, iters = polish_bubbles(
-            cand, clen, branches, blen, bmask, subs,
-            max_iters=2 * cb)
-        out_c = np.asarray(out_c)
-        out_l = np.asarray(out_l)
-        it_h = np.asarray(iters)
+
+    def fetch(pend):
+        chunk, B, t0, out = pend
+        out_c = np.asarray(out[0])
+        out_l = np.asarray(out[1])
+        it_h = np.asarray(out[3])
         logger.debug(
             "bucket (%d,%d,%d) x%d: %.1fs, iters med/max %d/%d",
             cb, sb, rb, B, time.perf_counter() - t0,
             int(np.median(it_h)), int(it_h.max()))
         for i, (b, _) in enumerate(chunk):
             b.polished = out_c[i, :out_l[i]].copy()
+
+    pend = None
+    for lo in range(0, len(items), max_b):
+        chunk = items[lo:lo + max_b]
+        B = _quantize_batch(len(chunk), max_b)
+        cand, clen, branches, blen, bmask = _pack_chunk(
+            chunk, cb, sb, rb, B)
+        t0 = time.perf_counter()
+        out = polish_bubbles(cand, clen, branches, blen, bmask, subs,
+                             max_iters=2 * cb)
+        if pend is not None:
+            fetch(pend)
+        pend = (chunk, B, t0, out)
+    if pend is not None:
+        fetch(pend)
 
 
 # ---- multi-process fan-out over the file bus ----
@@ -292,11 +309,15 @@ def polish(drafts: Sequence[Tuple[str, np.ndarray]],
            reads: SequenceStore, platform: str,
            num_iters: int = 1, k: int = 15, w: int = 5,
            max_bubble: Optional[int] = None,
-           return_coverage: bool = False):
+           return_coverage: bool = False,
+           trim_ends: bool = False):
     """Iteratively polish draft sequences with reads.
 
-    Returns [(name, polished_codes)] (+ {name: mean_coverage} when
-    return_coverage).
+    trim_ends drops sub-2-branch bubbles at contig extremities before
+    composing (the pipeline's consensus/polishing stages set it; callers
+    polishing circular or fragment sequences — plasmids, Trestle — keep
+    the full span).  Returns [(name, polished_codes)]
+    (+ {name: mean_coverage} when return_coverage).
     """
     max_bubble = max_bubble or int(PIPELINE["max_bubble_length"])
     min_aln = int(PIPELINE["min_polish_aln_len"])
@@ -344,6 +365,10 @@ def polish(drafts: Sequence[Tuple[str, np.ndarray]],
                     continue
                 bubbles = per_target.get(tid)
                 if bubbles:
+                    if trim_ends:
+                        from flye_tpu.polishing.windows import \
+                            trim_low_coverage_ends
+                        bubbles = trim_low_coverage_ends(bubbles)
                     new_current.append((name, compose(bubbles)))
                 else:
                     new_current.append((name, codes))

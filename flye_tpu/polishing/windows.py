@@ -296,6 +296,30 @@ def make_bubbles(target_id: int, draft: np.ndarray,
 _SWITCH_M = 10  # junction switch-point marker length
 
 
+def trim_low_coverage_ends(bubbles: List[Bubble],
+                           min_branches: int = 2) -> List[Bubble]:
+    """Drop leading/trailing bubbles with fewer than min_branches read
+    branches before composing.
+
+    At linear contig tips read coverage tapers to 1; a 1-branch bubble
+    can only converge to that single read's raw sequence (~8-15% error
+    measured over the last ~450 bp of the 420 kb parity assembly, 68 of
+    its 75 total errors).  The reference avoids this class by building
+    consensus strictly from the read pileup, which fades out with
+    coverage (reference: flye/polishing/consensus.py:153-181
+    _flatten_profile).  Only contig ENDS trim — interior low-coverage
+    windows keep the contig intact — and a contig whose every bubble is
+    below the threshold is kept whole (tiny/low-coverage sequences,
+    e.g. short plasmids, must survive)."""
+    bs = sorted(bubbles, key=lambda x: x.position)
+    lo, hi = 0, len(bs)
+    while lo < hi and len(bs[lo].branches) < min_branches:
+        lo += 1
+    while hi > lo and len(bs[hi - 1].branches) < min_branches:
+        hi -= 1
+    return bs[lo:hi] if lo < hi else bs
+
+
 def compose(bubbles: List[Bubble]) -> np.ndarray:
     """Re-join polished bubbles into one sequence
     (reference: flye/polishing/polish.py:285-312 _compose_sequence).

@@ -1081,6 +1081,261 @@ static PyObject* select_solid_kmers(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
+// polish_hopo_host: batched homopolymer + dinucleotide re-estimation —
+// the threaded native twin of polishing/homopolisher.py
+// (polish_homopolymers + fix_dinucleotide_repeats applied in that
+// order per bubble; reference: src/polishing/homo_polisher.cpp +
+// dinucleotide_fixer.cpp).  The per-bubble Python loops cost ~160 s of
+// the 4.6 Mb E2E; this runs the same decisions (double-precision
+// likelihood sums in the same association order — bit-identical) in
+// C++ threads.
+//
+// cand u8 flat + cand_off int64[B+1]; branches u8 flat + br_off
+// int64[NB+1]; bb_off int64[B+1] (bubble -> branch index range);
+// obs_logp f64[4*21*33]; genome_logp f64[4*21]; min_run; min_units.
+// Returns (out_flat bytes, out_off int64[B+1] bytes).
+// ---------------------------------------------------------------------
+static const int kHopoMaxState = 20;
+static const int kHopoMaxObs = 32;
+
+static int hopo_branch_run_at(const unsigned char* br, int64_t n,
+                              int nucl, int64_t center, int64_t window,
+                              bool* found) {
+  const int64_t lo = std::max<int64_t>(0, center - window);
+  const int64_t hi = std::min<int64_t>(n, center + window);
+  *found = hi > lo;
+  if (!*found) return 0;
+  int best = -1;
+  int64_t best_d = 0;
+  int64_t i = lo;
+  while (i < hi) {
+    if (br[i] == nucl) {
+      int64_t s = i;
+      while (s > 0 && br[s - 1] == nucl) --s;
+      int64_t j = i;
+      while (j < n && br[j] == nucl) ++j;
+      const int64_t d = std::llabs((s + j) / 2 - center);
+      if (best < 0 || d < best_d) {
+        best = (int)(j - s);
+        best_d = d;
+      }
+      i = j;
+    } else {
+      ++i;
+    }
+  }
+  return best < 0 ? 0 : best;
+}
+
+static void hopo_one(const unsigned char* cand, int64_t clen,
+                     const unsigned char* br_flat, const int64_t* br_off,
+                     int64_t b0, int64_t b1, const double* obs_logp,
+                     const double* genome_logp, int min_run,
+                     int min_units, std::vector<unsigned char>& out) {
+  out.clear();
+  const int64_t nb = b1 - b0;
+  if (nb == 0 || clen == 0) {
+    out.assign(cand, cand + clen);
+  } else {
+    // ---- homopolymer ML re-estimation ----
+    std::vector<double> scale(nb);
+    for (int64_t j = 0; j < nb; ++j) {
+      scale[j] = (double)(br_off[b0 + j + 1] - br_off[b0 + j]) /
+                 (double)std::max<int64_t>(1, clen);
+    }
+    int64_t start = 0;
+    std::vector<int> obs;
+    for (int64_t i = 1; i <= clen; ++i) {
+      if (i != clen && cand[i] == cand[start]) continue;
+      const int64_t length = i - start;
+      const int nucl = cand[start];
+      if (length < min_run || length > kHopoMaxState - 1) {
+        out.insert(out.end(), cand + start, cand + i);
+      } else {
+        const int64_t center = start + length / 2;
+        obs.clear();
+        for (int64_t j = 0; j < nb; ++j) {
+          const int64_t blen = br_off[b0 + j + 1] - br_off[b0 + j];
+          bool found;
+          const int r = hopo_branch_run_at(
+              br_flat + br_off[b0 + j], blen, nucl,
+              (int64_t)((double)center * scale[j]), length + 4,
+              &found);
+          if (found) obs.push_back(std::min(r, kHopoMaxObs));
+        }
+        int64_t best_len = length;
+        if ((int64_t)obs.size() >= 2) {
+          double best_ll = -std::numeric_limits<double>::infinity();
+          const int64_t lo_l = std::max<int64_t>(1, length - 1);
+          const int64_t hi_l =
+              std::min<int64_t>(kHopoMaxState, length + 2);
+          for (int64_t L = lo_l; L < hi_l; ++L) {
+            // same association order as the Python source (genome +
+            // sum(obs)) for bit-identical likelihoods
+            double s = 0.0;
+            for (int o : obs) {
+              s += obs_logp[(nucl * (kHopoMaxState + 1) + L) *
+                                (kHopoMaxObs + 1) +
+                            o];
+            }
+            const double ll =
+                genome_logp[nucl * (kHopoMaxState + 1) + L] + s;
+            if (ll > best_ll) {
+              best_ll = ll;
+              best_len = L;
+            }
+          }
+        }
+        out.insert(out.end(), (size_t)best_len, (unsigned char)nucl);
+      }
+      start = i;
+    }
+  }
+
+  // ---- dinucleotide repeat vote (on the hopo output) ----
+  const int64_t n = (int64_t)out.size();
+  if (nb == 0 || n < 2 * min_units) return;
+  std::vector<unsigned char> fixed;
+  fixed.reserve(out.size() + 16);
+  std::vector<double> scale2(nb);
+  for (int64_t j = 0; j < nb; ++j) {
+    scale2[j] = (double)(br_off[b0 + j + 1] - br_off[b0 + j]) /
+                (double)std::max<int64_t>(1, n);
+  }
+  std::vector<int> votes;
+  int64_t i = 0;
+  while (i < n - 1) {
+    const int a = out[i], b = out[i + 1];
+    if (a == b) {
+      fixed.push_back(out[i]);
+      ++i;
+      continue;
+    }
+    int64_t units = 0, j = i;
+    while (j + 1 < n && out[j] == a && out[j + 1] == b) {
+      ++units;
+      j += 2;
+    }
+    if (units < min_units) {
+      fixed.push_back(out[i]);
+      ++i;
+      continue;
+    }
+    votes.clear();
+    for (int64_t q = 0; q < nb; ++q) {
+      const int64_t blen = br_off[b0 + q + 1] - br_off[b0 + q];
+      const unsigned char* br = br_flat + br_off[b0 + q];
+      const int64_t c = (int64_t)((double)i * scale2[q]);
+      const int64_t lo = std::max<int64_t>(0, c - 2 * units - 6);
+      const int64_t hi = std::min<int64_t>(blen, c + 4 * units + 6);
+      int best = 0, cur = 0;
+      int64_t p = lo;
+      while (p + 1 < hi) {
+        if (br[p] == a && br[p + 1] == b) {
+          ++cur;
+          best = std::max(best, cur);
+          p += 2;
+        } else {
+          cur = 0;
+          ++p;
+        }
+      }
+      votes.push_back(best);
+    }
+    if ((int64_t)votes.size() >= 2) {
+      // winner = smallest vote value with the max count (np.unique is
+      // sorted; argmax takes the first maximum)
+      std::vector<int> sorted(votes);
+      std::sort(sorted.begin(), sorted.end());
+      int winner = sorted[0], wcount = 0, maxc = 0;
+      size_t t = 0;
+      while (t < sorted.size()) {
+        size_t u = t + 1;
+        while (u < sorted.size() && sorted[u] == sorted[t]) ++u;
+        if ((int)(u - t) > maxc) {
+          maxc = (int)(u - t);
+          winner = sorted[t];
+        }
+        t = u;
+      }
+      wcount = maxc;
+      if (winner > 0 && winner != units &&
+          wcount > (int64_t)votes.size() / 2) {
+        units = winner;
+      }
+    }
+    for (int64_t u = 0; u < units; ++u) {
+      fixed.push_back((unsigned char)a);
+      fixed.push_back((unsigned char)b);
+    }
+    i = j;
+  }
+  if (i < n) fixed.insert(fixed.end(), out.begin() + i, out.end());
+  out.swap(fixed);
+}
+
+static PyObject* polish_hopo_host(PyObject*, PyObject* args) {
+  Py_buffer cand_b, coff_b, br_b, broff_b, bboff_b, obs_b, gen_b;
+  int min_run, min_units;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*ii", &cand_b, &coff_b,
+                        &br_b, &broff_b, &bboff_b, &obs_b, &gen_b,
+                        &min_run, &min_units)) {
+    return nullptr;
+  }
+  const unsigned char* cand = static_cast<const unsigned char*>(cand_b.buf);
+  const int64_t* coff = static_cast<const int64_t*>(coff_b.buf);
+  const unsigned char* brf = static_cast<const unsigned char*>(br_b.buf);
+  const int64_t* broff = static_cast<const int64_t*>(broff_b.buf);
+  const int64_t* bboff = static_cast<const int64_t*>(bboff_b.buf);
+  const double* obs_logp = static_cast<const double*>(obs_b.buf);
+  const double* genome_logp = static_cast<const double*>(gen_b.buf);
+  const Py_ssize_t B = coff_b.len / 8 - 1;
+  std::vector<std::vector<unsigned char>> outs((size_t)B);
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    std::atomic<Py_ssize_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        const Py_ssize_t b = next.fetch_add(1);
+        if (b >= B) return;
+        hopo_one(cand + coff[b], coff[b + 1] - coff[b], brf, broff,
+                 bboff[b], bboff[b + 1], obs_logp, genome_logp,
+                 min_run, min_units, outs[(size_t)b]);
+      }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = hw >= 2 ? 2 : 1;
+    std::vector<std::thread> ths;
+    for (int t = 1; t < T; ++t) ths.emplace_back(worker);
+    worker();
+    for (auto& th : ths) th.join();
+  }
+  Py_END_ALLOW_THREADS;
+  std::vector<int64_t> ooff((size_t)B + 1, 0);
+  for (Py_ssize_t b = 0; b < B; ++b) {
+    ooff[(size_t)b + 1] = ooff[(size_t)b] + (int64_t)outs[(size_t)b].size();
+  }
+  std::vector<unsigned char> flat((size_t)ooff[(size_t)B]);
+  for (Py_ssize_t b = 0; b < B; ++b) {
+    std::copy(outs[(size_t)b].begin(), outs[(size_t)b].end(),
+              flat.begin() + ooff[(size_t)b]);
+  }
+  PyObject* r = PyTuple_New(2);
+  PyTuple_SET_ITEM(r, 0, PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(flat.data()), flat.size()));
+  PyTuple_SET_ITEM(r, 1, PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(ooff.data()), ooff.size() * 8));
+  PyBuffer_Release(&cand_b);
+  PyBuffer_Release(&coff_b);
+  PyBuffer_Release(&br_b);
+  PyBuffer_Release(&broff_b);
+  PyBuffer_Release(&bboff_b);
+  PyBuffer_Release(&obs_b);
+  PyBuffer_Release(&gen_b);
+  return r;
+}
+
+// ---------------------------------------------------------------------
 // refine_points: snap extrapolated read coordinates onto the exact
 // occurrence of each boundary marker nearest the estimate (batched
 // twin of polishing/windows.py _refine; that Python/numpy version at
@@ -1899,6 +2154,8 @@ static PyMethodDef methods[] = {
      "Threaded radix-sort exact k-mer frequency pass"},
     {"select_solid_kmers", select_solid_kmers, METH_VARARGS,
      "Per-read frequency-threshold + tandem-filter selection"},
+    {"polish_hopo_host", polish_hopo_host, METH_VARARGS,
+     "Batched homopolymer ML + dinucleotide vote re-estimation"},
     {"refine_points", refine_points, METH_VARARGS,
      "Snap extrapolated read coordinates onto exact boundary markers"},
     {nullptr, nullptr, 0, nullptr}};

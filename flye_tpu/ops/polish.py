@@ -277,13 +277,10 @@ def _polish_step(cand, cand_len, done, streak, it_count,
 _score_raw_jit = jax.jit(_score_edits_raw_jnp)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pack", "Wseg", "groups", "block_size",
-                              "steepest", "max_iters"))
-def _converge_pallas(cand, cand_len, done, streak, score, iters, subs,
-                     prep, pack: int, Wseg: int, groups: int,
-                     block_size: int, steepest: bool, max_iters: int):
-    """Run the whole hill climb as ONE device program: a lax.while_loop
+def _converge_loop(cand, cand_len, subs, prep, pack: int, Wseg: int,
+                   groups: int, block_size: int, steepest: bool,
+                   max_iters: int):
+    """The whole hill climb as ONE device program: a lax.while_loop
     over (Pallas scoring -> edit selection) with an all-lanes-done exit.
 
     The host loop it replaces polled convergence every few iterations;
@@ -295,6 +292,7 @@ def _converge_pallas(cand, cand_len, done, streak, score, iters, subs,
     while_loop on this JAX version; the Pallas kernels don't carry that
     construct.)"""
     from flye_tpu.ops.polish_pallas import _score_edits_pallas
+    B = cand.shape[0]
 
     def cond(state):
         it = state[0]
@@ -315,9 +313,95 @@ def _converge_pallas(cand, cand_len, done, streak, score, iters, subs,
         iters = jnp.where(done, iters, it + 1)
         return (it + 1, ncand, nlen, ndone, nstreak, total, iters)
 
-    state = (jnp.int32(0), cand, cand_len, done, streak, score, iters)
+    state = (jnp.int32(0), cand, cand_len,
+             jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32))
     state = jax.lax.while_loop(cond, body, state)
     return state[1], state[2], state[5], state[6]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pack", "Wseg", "groups", "block_size",
+                              "steepest", "max_iters"))
+def _converge_pallas(cand, cand_len, done, streak, score, iters, subs,
+                     prep, pack: int, Wseg: int, groups: int,
+                     block_size: int, steepest: bool, max_iters: int):
+    """Unpacked-argument entry (mesh-sharded batches keep this path;
+    done/streak/score/iters are accepted for sharding-layout parity but
+    re-derived inside)."""
+    del done, streak, score, iters
+    return _converge_loop(cand, cand_len, subs, tuple(prep), pack,
+                          Wseg, groups, block_size, steepest, max_iters)
+
+
+def _pack_2bit(a: "np.ndarray") -> "np.ndarray":
+    """[..., L] u8 codes (0..3) -> [..., ceil(L/4)] packed u8."""
+    L = a.shape[-1]
+    pad = (-L) % 4
+    if pad:
+        a = np.concatenate(
+            [a, np.zeros((*a.shape[:-1], pad), np.uint8)], axis=-1)
+    a = a.reshape(*a.shape[:-1], -1, 4).astype(np.uint8)
+    return (a[..., 0] | (a[..., 1] << 2) | (a[..., 2] << 4)
+            | (a[..., 3] << 6)).astype(np.uint8)
+
+
+def _unpack_2bit(p, L: int):
+    """packed [..., P] u8 -> [..., L] int32 codes (device)."""
+    shifts = jnp.array([0, 2, 4, 6], jnp.int32)
+    x = (p[..., :, None].astype(jnp.int32) >> shifts) & 3
+    return x.reshape(*p.shape[:-1], p.shape[-1] * 4)[..., :L]
+
+
+def _pack_polish_inputs(cand, cand_len, branches, blen, bmask):
+    """One flat uint8 buffer: 2-bit cand + 2-bit branches + raw
+    clen/blen int32 bytes + bmask bytes.  A single host->device
+    transfer replaces ~8 per batch (each blocking transfer costs a
+    tunnel round trip on this deployment, and 2-bit packing cuts the
+    dominant branch payload 4x)."""
+    parts = [
+        _pack_2bit(np.asarray(cand, np.uint8)).ravel(),
+        _pack_2bit(np.asarray(branches, np.uint8)).ravel(),
+        np.ascontiguousarray(cand_len, np.int32).view(np.uint8),
+        np.ascontiguousarray(blen, np.int32).view(np.uint8).ravel(),
+        np.asarray(bmask, np.uint8).ravel(),
+    ]
+    return np.concatenate(parts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "Bg", "Cb", "R", "S", "pack",
+                              "Wseg", "groups", "block_size",
+                              "steepest", "max_iters"))
+def _converge_pallas_packed(buf, subs, B: int, Bg: int, Cb: int,
+                            R: int, S: int, pack: int, Wseg: int,
+                            groups: int, block_size: int,
+                            steepest: bool, max_iters: int):
+    """Single-transfer entry: unpack the flat buffer on device, build
+    the branch tables, and run the convergence while_loop — one
+    dispatch, one input transfer, one output fetch per bucket batch."""
+    from flye_tpu.ops.polish_pallas import _prepare_branches
+    nc4, ns4 = -(-Cb // 4), -(-S // 4)
+    o = 0
+    cand2 = buf[o:o + B * nc4].reshape(B, nc4)
+    o += B * nc4
+    br2 = buf[o:o + Bg * R * ns4].reshape(Bg, R, ns4)
+    o += Bg * R * ns4
+    clen = jax.lax.bitcast_convert_type(
+        buf[o:o + 4 * B].reshape(B, 4), jnp.int32).reshape(B)
+    o += 4 * B
+    blen = jax.lax.bitcast_convert_type(
+        buf[o:o + 4 * Bg * R].reshape(Bg, R, 4),
+        jnp.int32).reshape(Bg, R)
+    o += 4 * Bg * R
+    bmask = buf[o:o + Bg * R].reshape(Bg, R) != 0
+
+    cand = _unpack_2bit(cand2, Cb).astype(jnp.uint8)
+    branches = _unpack_2bit(br2, S)
+    prep = _prepare_branches(branches, blen, bmask,
+                             subs.astype(jnp.float32))
+    return _converge_loop(cand, clen, subs, prep, pack, Wseg, groups,
+                          block_size, steepest, max_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))
@@ -568,17 +652,40 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
         from flye_tpu.ops.polish_pallas import fits_vmem
         use_pallas = fits_vmem(branches.shape[1], branches.shape[2],
                                cand.shape[1])
+    import os
+
+    from flye_tpu.parallel.runtime import get_runtime
+    rt = get_runtime()
+    Bb = cand.shape[0]
+    if (use_pallas and not rt.active
+            and not os.environ.get("FLYE_TPU_HOST_POLL")):
+        # single-device fast path: 2-bit-packed single-buffer transfer
+        # + the whole convergence loop on-device.  One host->device
+        # transfer, one dispatch, one fetch per bucket batch (each
+        # separate transfer costs a tunnel round trip here; the
+        # mesh-sharded path below keeps per-array placement).
+        from flye_tpu.ops.polish_pallas import _kernel_dims
+        pack, Wseg, _, _ = _kernel_dims(branches.shape[1],
+                                        branches.shape[2])
+        buf = _pack_polish_inputs(cand, cand_len, branches, blen,
+                                  bmask)
+        with jax.enable_x64(False):  # 64-bit doesn't lower in Mosaic
+            out = _converge_pallas_packed(
+                jnp.asarray(buf), jnp.asarray(subs, jnp.float32),
+                B=Bb, Bg=branches.shape[0], Cb=cand.shape[1],
+                R=branches.shape[1], S=branches.shape[2], pack=pack,
+                Wseg=Wseg, groups=groups, block_size=block_size,
+                steepest=steepest, max_iters=max_iters)
+        return out
+
     prep = None
     if use_pallas:
         from flye_tpu.ops.polish_pallas import prepare_branches_pallas
         prep = prepare_branches_pallas(branches, blen, bmask, subs)
-    Bb = cand.shape[0]
     # bubble batch axis sharded over the runtime mesh — the polish phase
     # is embarrassingly parallel over windows (the reference runs it as
     # N worker threads, bubble_processor.h:29); XLA partitions the
     # jitted step across devices, no collectives needed
-    from flye_tpu.parallel.runtime import get_runtime
-    rt = get_runtime()
     done = rt.shard_rows(np.zeros((Bb,), bool))
     streak = rt.shard_rows(np.zeros((Bb,), np.int32))
     score = rt.shard_rows(np.zeros((Bb,), np.float32))
@@ -589,9 +696,9 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
     bmask = rt.shard_rows(np.asarray(bmask))
     subs = jnp.asarray(subs, jnp.float32)
 
-    import os
     if use_pallas and not os.environ.get("FLYE_TPU_HOST_POLL"):
-        # whole convergence loop on-device: one dispatch, one fetch
+        # mesh-sharded batches: whole convergence loop on-device with
+        # per-array placement (shard_rows above)
         from flye_tpu.ops.polish_pallas import _kernel_dims
         pack, Wseg, _, _ = _kernel_dims(branches.shape[1],
                                         branches.shape[2])
@@ -606,9 +713,11 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
 
     iters = np.zeros(Bb, np.int64)
     # convergence is polled every poll_every iterations: each poll is a
-    # blocking device->host sync, while un-polled steps pipeline freely
-    # (converged lanes are frozen by their done flag either way)
-    poll_every = 4 if use_pallas else 1
+    # blocking device->host sync (~0.4 s RTT on the tunnel), while
+    # un-polled steps pipeline freely (converged lanes are frozen by
+    # their done flag either way).  Any device backend polls sparsely;
+    # the CPU jnp path is synchronous anyway.
+    poll_every = 1 if jax.default_backend() == "cpu" else 4
     for it in range(max_iters):
         cand, cand_len, done, streak, score = _polish_step(
             cand, cand_len, done, streak, jnp.int32(it),

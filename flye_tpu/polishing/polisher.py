@@ -99,8 +99,15 @@ def _max_batch(cb: int, sb: int, rb: int) -> int:
             groups = max(1, -(-rb // (8 * pack)))
             per_lane = cb * groups * 8 * W * 4 * 2
             # measured on the chip: throughput rises through ~8k-lane
-            # batches at the fine-bubble shape (6.4k -> 9.9k bubbles/s)
-            return max(1, min(8192, (6 << 30) // per_lane))
+            # batches at the fine-bubble shape (6.4k -> 9.9k bubbles/s).
+            # Power-of-two cap: every batch size is a power of two (see
+            # _quantize_batch), so each bucket shape compiles at most
+            # ~6 device programs.
+            cap = max(1, min(8192, (10 << 30) // per_lane))
+            p2 = 32
+            while p2 * 2 <= cap:
+                p2 <<= 1
+            return min(cap, p2)
     groups = max(1, -(-rb // 8))
     per_lane = cb * sb * groups * 8 * 4 * 6
     return max(1, min(512, _MEM_BUDGET // per_lane))
@@ -130,11 +137,15 @@ def _pack_chunk(chunk: List[Tuple[Bubble, List[np.ndarray]]],
 
 
 def _quantize_batch(n: int, max_b: int) -> int:
-    """Quantize batches so short tail chunks reuse compiled shapes."""
-    for q in (32, 128, 512):
-        if n <= q <= max_b:
-            return q
-    return n
+    """Round the batch up to a power of two (>= 32) so every chunk of a
+    bucket reuses one of at most ~6 compiled shapes.  Exact-size tail
+    batches each cost a fresh ~10-60 s remote compile on this
+    deployment — the 4.6 Mb warm-up run spent several minutes compiling
+    x58/x208/x328/x1742 one-off variants."""
+    q = 32
+    while q < n:
+        q <<= 1
+    return min(q, max_b)
 
 
 def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
@@ -294,15 +305,54 @@ def polish_bubble_set(bubbles: List[Bubble], platform: str) -> None:
     # phase 3: homopolymer + dinucleotide re-estimation (reference:
     # HomoPolisher / DinucleotideFixer applied per bubble after the
     # general polisher, src/polishing/bubble_processor.cpp)
-    from flye_tpu.polishing.homopolisher import (fix_dinucleotide_repeats,
-                                                 polish_homopolymers)
     with stage_timer("polish: homopolymer/dinucleotide"):
-        for b in bubbles:
-            if b.polished is None or not b.branches:
-                continue
-            seq = polish_homopolymers(b.polished, b.branches, platform)
-            seq = fix_dinucleotide_repeats(seq, b.branches)
-            b.polished = seq
+        _run_hopo_phase(bubbles, platform)
+
+
+def _run_hopo_phase(bubbles: List[Bubble], platform: str) -> None:
+    """Homopolymer ML + dinucleotide vote over all bubbles — batched
+    through the threaded native pass when available (bit-identical to
+    the Python reference implementation; the per-bubble Python loops
+    cost ~160 s of the 4.6 Mb E2E)."""
+    from flye_tpu import native
+    from flye_tpu.polishing.homopolisher import (fix_dinucleotide_repeats,
+                                                 get_hopo_model,
+                                                 polish_homopolymers)
+    todo = [b for b in bubbles
+            if b.polished is not None and b.branches]
+    if not todo:
+        return
+    mod = native.get()
+    if mod is not None and hasattr(mod, "polish_hopo_host"):
+        obs_logp, genome_logp = get_hopo_model(platform)
+        cand_off = np.zeros(len(todo) + 1, np.int64)
+        bb_off = np.zeros(len(todo) + 1, np.int64)
+        for i, b in enumerate(todo):
+            cand_off[i + 1] = cand_off[i] + len(b.polished)
+            bb_off[i + 1] = bb_off[i] + len(b.branches)
+        cand_flat = np.concatenate([b.polished for b in todo]) \
+            if cand_off[-1] else np.zeros(0, np.uint8)
+        all_br = [br for b in todo for br in b.branches]
+        br_off = np.zeros(len(all_br) + 1, np.int64)
+        br_off[1:] = np.cumsum([len(x) for x in all_br])
+        br_flat = np.concatenate(all_br) if len(all_br) \
+            else np.zeros(0, np.uint8)
+        out_flat_b, out_off_b = mod.polish_hopo_host(
+            np.ascontiguousarray(cand_flat, np.uint8),
+            cand_off, np.ascontiguousarray(br_flat, np.uint8),
+            br_off, bb_off,
+            np.ascontiguousarray(obs_logp, np.float64),
+            np.ascontiguousarray(genome_logp, np.float64),
+            4, 3)
+        out_flat = np.frombuffer(out_flat_b, np.uint8)
+        out_off = np.frombuffer(out_off_b, np.int64)
+        for i, b in enumerate(todo):
+            b.polished = out_flat[out_off[i]:out_off[i + 1]].copy()
+        return
+    for b in todo:
+        seq = polish_homopolymers(b.polished, b.branches, platform)
+        seq = fix_dinucleotide_repeats(seq, b.branches)
+        b.polished = seq
 
 
 def polish(drafts: Sequence[Tuple[str, np.ndarray]],

@@ -502,11 +502,13 @@ class KmerIndex:
             # size (measured 10 M keys: 0.2 s vs 4.0 s) and the flat
             # 4^k table below ~500 M keys (its ~8-17 GB first touch);
             # above that the flat counter's fixed table wins on memory
+            # int32 throughout: the int64 frequency copies were part
+            # of the 50 Mb run's 78 Gb index-build peak
             freq = np.frombuffer(
                 mod.count_kmer_freqs_radix(
                     np.ascontiguousarray(kmers, dtype=np.int64),
                     int(self.k)),
-                np.int32).astype(np.int64)
+                np.int32)
         elif (mod is not None and 2 * self.k <= 34 and
                 (len(kmers) >= 150 * 10**6 or table_bytes <= (1 << 28))):
             # flat saturating-counter pass (native; the reference's
@@ -527,7 +529,7 @@ class KmerIndex:
                 mod.count_kmer_freqs(
                     np.ascontiguousarray(kmers, dtype=np.int64),
                     int(self.k)),
-                np.uint8).astype(np.int64)
+                np.uint8).astype(np.int32)
         else:
             order = np.argsort(kmers, kind="stable")
             skmers = kmers[order]

@@ -391,16 +391,22 @@ def polish(drafts: Sequence[Tuple[str, np.ndarray]],
             all_bubbles: List[Bubble] = []
             per_target: Dict[int, List[Bubble]] = {}
             with stage_timer("polish: bubble extraction"):
-                for tid, alns in by_target.items():
+                for tid in list(by_target.keys()):
                     draft = targets.get(tid)
-                    alns = uniform_alignments(alns, len(draft), max_cov)
+                    alns = uniform_alignments(by_target.pop(tid),
+                                              len(draft), max_cov)
                     bubbles = make_bubbles(tid, draft, alns, reads,
                                            max_bubble=max_bubble,
                                            min_aln_length=min_aln)
                     per_target[tid] = bubbles
-                    all_bubbles.extend(bubbles)
                     coverage_stats[targets.name(tid)] = (
                         sum(a.cur_range for a in alns) / max(1, len(draft)))
+                    # alignments (with per-anchor traces) are only
+                    # needed for extraction — dropping them here keeps
+                    # the kernels phase's RSS to the bubbles themselves
+                    del alns
+                    all_bubbles.extend(bubbles)
+                del mapper
             logger.info("%d bubbles from %d sequences",
                         len(all_bubbles), len(per_target))
             with stage_timer("polish: bubble kernels"):

@@ -136,8 +136,8 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
             if not is_coordinator():
                 ovlp_store.dump_shard(os.path.join(
                     work_dir, f"ava_shard_{rt.process_index}.npz"))
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("flye_tpu_ava_shards")
+        from flye_tpu.parallel.distributed import file_barrier
+        file_barrier(work_dir, "ava_shards")
         if not is_coordinator():
             logger.info("host %d: ava shard contributed; the "
                         "coordinator carries the host-plane stages",

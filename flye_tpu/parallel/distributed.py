@@ -46,11 +46,28 @@ def init_distributed(coordinator: Optional[str] = None,
         int(pid_str) if pid_str else None)
 
     if not _initialized and (coordinator or num_processes):
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id)
-        _initialized = True
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id)
+            _initialized = True
+        except Exception as e:  # pragma: no cover - platform-specific
+            logger.warning(
+                "jax.distributed.initialize failed (%s); continuing "
+                "with the env-configured topology over the file bus", e)
+    if num_processes and process_id is not None:
+        # env-first topology: some PJRT plugins (the axon tunnel)
+        # accept the coordination service but never register the
+        # process in jax.process_count(); the pipeline's multi-process
+        # plane is file-bus based and only needs (index, count), so the
+        # explicit configuration wins over what the backend reports
+        if _initialized and jax.process_count() != num_processes:
+            logger.info(
+                "backend reports %d process(es); using configured %d",
+                jax.process_count(), num_processes)
+        return process_id, num_processes
+    if _initialized:
         logger.info("jax.distributed: process %d/%d, %d local / %d "
                     "global devices", jax.process_index(),
                     jax.process_count(), jax.local_device_count(),
@@ -68,9 +85,10 @@ def host_partition(ids: Sequence[int], process_index: Optional[int] = None,
     on the same host (partition on the forward id).
     """
     if process_index is None or process_count is None:
-        import jax
-        process_index = jax.process_index()
-        process_count = jax.process_count()
+        from flye_tpu.parallel.runtime import get_runtime
+        rt = get_runtime()
+        process_index = rt.process_index
+        process_count = rt.process_count
     if process_count <= 1:
         return list(ids)
     fwd = sorted({i & ~1 for i in ids})
@@ -87,5 +105,43 @@ def is_coordinator() -> bool:
     gathered overlap records"); other hosts idle through them and rejoin
     at the next device-parallel stage.
     """
-    import jax
-    return jax.process_index() == 0
+    from flye_tpu.parallel.runtime import get_runtime
+    return get_runtime().process_index == 0
+
+
+def file_barrier(work_dir: str, name: str, timeout_s: float = 3600.0,
+                 poll_s: float = 0.05) -> None:
+    """Filesystem barrier across the run's processes.
+
+    Replaces `multihost_utils.sync_global_devices` on the ava shard
+    exchange: the collective barrier requires every process to share a
+    collective transport, which a heterogeneous run (TPU coordinator +
+    CPU workers — the chip+host-cores configuration on a single
+    machine) cannot provide (Gloo and the TPU transport cannot
+    rendezvous; measured DEADLINE_EXCEEDED).  Processes already share a
+    filesystem for the shard files themselves, so the barrier uses the
+    same bus: each process drops `<name>.<pid>` and waits for all
+    `process_count` sentinels.
+    """
+    import os
+    import time as _time
+
+    from flye_tpu.parallel.runtime import get_runtime
+    rt = get_runtime()
+    pid, count = rt.process_index, rt.process_count
+    if count <= 1:
+        return
+    bdir = os.path.join(work_dir, ".barriers")
+    os.makedirs(bdir, exist_ok=True)
+    mine = os.path.join(bdir, f"{name}.{pid}")
+    with open(mine, "w") as f:
+        f.write("x")
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        n = sum(os.path.exists(os.path.join(bdir, f"{name}.{p}"))
+                for p in range(count))
+        if n >= count:
+            return
+        if _time.monotonic() > deadline:
+            raise TimeoutError(f"file_barrier {name}: {n}/{count}")
+        _time.sleep(poll_s)

@@ -332,9 +332,23 @@ class KmerIndex:
         payload = ((seq.astype(np.int64) << 33)
                    | (pos.astype(np.int64) << 1)
                    | flip.astype(np.int64))
-        order = np.lexsort((payload, kmers))
-        sk = kmers[order]
-        sp = payload[order]
+        from flye_tpu import native
+        mod = native.get()
+        if mod is not None and hasattr(mod, "radix_sort_pairs"):
+            # threaded native radix (stable, same (kmer, payload) key
+            # as the lexsort): ~10x the numpy comparison sort at the
+            # 50 M-posting scale
+            abits = (int(kmers.max()).bit_length()
+                     if len(kmers) else 1) or 1
+            sk_b, sp_b = mod.radix_sort_pairs(
+                np.ascontiguousarray(kmers, np.int64),
+                np.ascontiguousarray(payload, np.int64), abits)
+            sk = np.frombuffer(sk_b, np.int64)
+            sp = np.frombuffer(sp_b, np.int64)
+        else:
+            order = np.lexsort((payload, kmers))
+            sk = kmers[order]
+            sp = payload[order]
         return (sk, (sp >> 33).astype(np.int32),
                 ((sp >> 1) & 0xFFFFFFFF).astype(np.int32),
                 (sp & 1).astype(bool))

@@ -1001,6 +1001,101 @@ static PyObject* count_kmer_freqs_radix(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
+// radix_sort_pairs: threaded stable LSD radix sort of (a, b) pairs by
+// key (a, b) — the postings sort of the index build (numpy lexsort is
+// a comparison sort; at 50 M selected postings it costs ~10x this).
+// a int64[n] (abits used bits, e.g. 2k for canonical k-mers);
+// b int64[n] (full 64).  Returns (sorted_a bytes, sorted_b bytes).
+// ---------------------------------------------------------------------
+static PyObject* radix_sort_pairs(PyObject*, PyObject* args) {
+  Py_buffer a_b, b_b;
+  int abits;
+  if (!PyArg_ParseTuple(args, "y*y*i", &a_b, &b_b, &abits)) {
+    return nullptr;
+  }
+  const int64_t* a_in = static_cast<const int64_t*>(a_b.buf);
+  const int64_t* b_in = static_cast<const int64_t*>(b_b.buf);
+  const Py_ssize_t M = a_b.len / 8;
+  const int a_passes = (abits + 15) / 16;
+  std::vector<uint64_t> a0((size_t)M), a1((size_t)M), c0((size_t)M),
+      c1((size_t)M);
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = hw >= 2 ? 2 : 1;
+    const Py_ssize_t chunk = (M + T - 1) / T;
+    {
+      auto init_worker = [&](int t) {
+        const Py_ssize_t lo = t * chunk, hi = std::min(M, lo + chunk);
+        for (Py_ssize_t i = lo; i < hi; ++i) {
+          a0[i] = (uint64_t)a_in[i];
+          c0[i] = (uint64_t)b_in[i];
+        }
+      };
+      std::vector<std::thread> ths;
+      for (int t = 1; t < T; ++t) ths.emplace_back(init_worker, t);
+      init_worker(0);
+      for (auto& th : ths) th.join();
+    }
+    std::vector<size_t> hist((size_t)T * 65536);
+    auto one_pass = [&](bool key_is_a, int shift) {
+      const std::vector<uint64_t>& key = key_is_a ? a0 : c0;
+      std::fill(hist.begin(), hist.end(), 0);
+      auto hist_worker = [&](int t) {
+        size_t* h = &hist[(size_t)t * 65536];
+        const Py_ssize_t lo = t * chunk, hi = std::min(M, lo + chunk);
+        for (Py_ssize_t i = lo; i < hi; ++i) {
+          ++h[(key[i] >> shift) & 0xffff];
+        }
+      };
+      {
+        std::vector<std::thread> ths;
+        for (int t = 1; t < T; ++t) ths.emplace_back(hist_worker, t);
+        hist_worker(0);
+        for (auto& th : ths) th.join();
+      }
+      size_t run = 0;
+      for (int d = 0; d < 65536; ++d) {
+        for (int t = 0; t < T; ++t) {
+          size_t& h = hist[(size_t)t * 65536 + d];
+          size_t c = h;
+          h = run;
+          run += c;
+        }
+      }
+      auto scatter_worker = [&](int t) {
+        size_t* base = &hist[(size_t)t * 65536];
+        const Py_ssize_t lo = t * chunk, hi = std::min(M, lo + chunk);
+        for (Py_ssize_t i = lo; i < hi; ++i) {
+          const size_t p = base[(key[i] >> shift) & 0xffff]++;
+          a1[p] = a0[i];
+          c1[p] = c0[i];
+        }
+      };
+      {
+        std::vector<std::thread> ths;
+        for (int t = 1; t < T; ++t) ths.emplace_back(scatter_worker, t);
+        scatter_worker(0);
+        for (auto& th : ths) th.join();
+      }
+      a0.swap(a1);
+      c0.swap(c1);
+    };
+    for (int p = 0; p < 4; ++p) one_pass(false, 16 * p);
+    for (int p = 0; p < a_passes; ++p) one_pass(true, 16 * p);
+  }
+  Py_END_ALLOW_THREADS;
+  PyObject* r = PyTuple_New(2);
+  PyTuple_SET_ITEM(r, 0, PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(a0.data()), (size_t)M * 8));
+  PyTuple_SET_ITEM(r, 1, PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(c0.data()), (size_t)M * 8));
+  PyBuffer_Release(&a_b);
+  PyBuffer_Release(&b_b);
+  return r;
+}
+
+// ---------------------------------------------------------------------
 // select_solid_kmers: the per-read frequency-threshold selection of the
 // solid index build (the Python loop over reads dominated the host
 // side of the build at bench scale).  Per read [starts[r], starts[r+1]):
@@ -2152,6 +2247,8 @@ static PyMethodDef methods[] = {
      "Flat saturating-counter k-mer frequency pass"},
     {"count_kmer_freqs_radix", count_kmer_freqs_radix, METH_VARARGS,
      "Threaded radix-sort exact k-mer frequency pass"},
+    {"radix_sort_pairs", radix_sort_pairs, METH_VARARGS,
+     "Threaded stable radix sort of (key, payload) pairs"},
     {"select_solid_kmers", select_solid_kmers, METH_VARARGS,
      "Per-read frequency-threshold + tandem-filter selection"},
     {"polish_hopo_host", polish_hopo_host, METH_VARARGS,

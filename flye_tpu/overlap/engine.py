@@ -1185,14 +1185,22 @@ class OverlapStore:
         coords = z["coords"]
         aoff = z["aoff"]
         anchors = z["anchors"]
+        # hoist npz members: NpzFile re-decompresses the WHOLE array on
+        # every [] access — per-overlap indexing of z[...] made the
+        # merge O(n^2) (measured: a 187 MB / ~700 k-overlap shard took
+        # >18 min; hoisted it is seconds)
+        cur_id = z["cur_id"]
+        ext_id = z["ext_id"]
+        score = z["score"]
+        div = z["div"]
         v = 0
         for fwd, n in zip(reads, counts):
             ovlps = []
             for _ in range(n):
-                ov = Overlap(int(z["cur_id"][v]), int(z["ext_id"][v]),
+                ov = Overlap(int(cur_id[v]), int(ext_id[v]),
                              *(int(x) for x in coords[v]),
-                             score=int(z["score"][v]),
-                             divergence=float(z["div"][v]))
+                             score=int(score[v]),
+                             divergence=float(div[v]))
                 km = anchors[aoff[v]:aoff[v + 1]]
                 ov.kmer_matches = km if len(km) else None
                 ovlps.append(ov)

@@ -136,8 +136,16 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
             if not is_coordinator():
                 ovlp_store.dump_shard(os.path.join(
                     work_dir, f"ava_shard_{rt.process_index}.npz"))
-        from flye_tpu.parallel.distributed import file_barrier
-        file_barrier(work_dir, "ava_shards")
+        from flye_tpu.parallel.distributed import (BarrierAborted,
+                                                   file_barrier)
+        try:
+            file_barrier(work_dir, "ava_shards")
+        except BarrierAborted:
+            if is_coordinator():
+                raise
+            logger.info("host %d: coordinator shut down before the ava "
+                        "barrier; dropping shard", rt.process_index)
+            return None
         if not is_coordinator():
             logger.info("host %d: ava shard contributed; the "
                         "coordinator carries the host-plane stages",

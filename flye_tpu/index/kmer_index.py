@@ -329,6 +329,13 @@ class KmerIndex:
         2x16B/posting tunnel round trip (hundreds of MB per build) to
         save a ~2 s numpy sort.  On a locally-attached TPU the trade
         could flip; the tunnel deployment never wins it."""
+        # payload layout: seq(30) | pos(32) | flip(1) in 63 bits — bit
+        # 63 must stay clear because the native radix orders payloads
+        # unsigned while the lexsort fallback orders signed int64 (the
+        # two would diverge for seq ids >= 2^30, i.e. >1 G reads)
+        if len(seq) and int(seq.max()) >= (1 << 30):
+            raise ValueError("k-mer payload packing supports < 2^30 "
+                             "sequence ids")
         payload = ((seq.astype(np.int64) << 33)
                    | (pos.astype(np.int64) << 1)
                    | flip.astype(np.int64))

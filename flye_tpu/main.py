@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import logging
 import os
@@ -533,12 +534,22 @@ def run_pipeline(args) -> int:
         # is its process pool over bubbles, flye/polishing/bubbles.py:96)
         import shutil as _sh
 
+        from flye_tpu.parallel.distributed import set_barrier_abort_file
         from flye_tpu.parallel.taskbus import TaskBus, set_bus
         from flye_tpu.polishing.polisher import register_polish_handlers
         bus_dir = os.path.join(ctx.out_dir, ".taskbus")
-        if coordinator and os.path.isdir(bus_dir):
-            _sh.rmtree(bus_dir)  # stale sentinel/results from a resume
+        if coordinator:
+            if os.path.isdir(bus_dir):
+                _sh.rmtree(bus_dir)  # stale sentinels from a resume
+            # stale barrier sentinels from a crashed prior attempt make
+            # the barrier pass before workers republish their shards
+            for bar_dir in glob.glob(
+                    os.path.join(ctx.out_dir, "*", ".barriers")):
+                _sh.rmtree(bar_dir)
         bus = TaskBus(bus_dir, rt.process_index)
+        # workers abort barrier waits once the coordinator writes DONE
+        # (e.g. a --stop-after stage the coordinator never enters)
+        set_barrier_abort_file(os.path.join(bus_dir, "DONE"))
         register_polish_handlers(bus, prefer_native=not coordinator)
         if coordinator:
             set_bus(bus)

@@ -31,6 +31,7 @@ restores the strictly serial reference semantics.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import sys
 
@@ -38,11 +39,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# tracing the U-row-unrolled Pallas kernels nested inside the
-# convergence while_loop exceeds CPython's default 1000-frame limit
-sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
-
 NEG = np.float32(-1e30)  # np scalar: no backend init at import
+
+
+@contextlib.contextmanager
+def _deep_recursion(limit: int = 20000):
+    """Tracing the U-row-unrolled Pallas kernels nested inside the
+    convergence while_loop exceeds CPython's default 1000-frame limit;
+    raise it only around those tracing calls (a module-wide raise would
+    leak to every package consumer and mask unrelated runaway
+    recursion)."""
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, limit))
+    try:
+        yield
+    finally:
+        sys.setrecursionlimit(old)
 
 
 def _score_edits_raw_jnp(cand, cand_len, branches, blen, bmask, subs):
@@ -669,7 +681,8 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
                                         branches.shape[2])
         buf = _pack_polish_inputs(cand, cand_len, branches, blen,
                                   bmask)
-        with jax.enable_x64(False):  # 64-bit doesn't lower in Mosaic
+        with jax.enable_x64(False), _deep_recursion():
+            # (64-bit doesn't lower in Mosaic)
             out = _converge_pallas_packed(
                 jnp.asarray(buf), jnp.asarray(subs, jnp.float32),
                 B=Bb, Bg=branches.shape[0], Cb=cand.shape[1],
@@ -703,7 +716,8 @@ def polish_bubbles(cand, cand_len, branches, blen, bmask, subs,
         pack, Wseg, _, _ = _kernel_dims(branches.shape[1],
                                         branches.shape[2])
         iters0 = rt.shard_rows(np.zeros(Bb, np.int32))
-        with jax.enable_x64(False):  # 64-bit scalars don't lower in Mosaic
+        with jax.enable_x64(False), _deep_recursion():
+            # (64-bit scalars don't lower in Mosaic)
             cand, cand_len, score, iters = _converge_pallas(
                 cand, cand_len, done, streak, score, iters0, subs,
                 tuple(prep), pack=pack, Wseg=Wseg, groups=groups,

@@ -419,7 +419,8 @@ def score_edits_pallas_raw(cand, cand_len, branches, blen, bmask,
     prep=prepare_branches_pallas(...) to reuse the branch tables
     across hill-climbing iterations.
     """
-    with jax.enable_x64(False):
+    from flye_tpu.ops.polish import _deep_recursion
+    with jax.enable_x64(False), _deep_recursion():
         if prep is None:
             prep = _prepare_branches(
                 jnp.asarray(branches, jnp.int32),

@@ -19,6 +19,7 @@ partitioning (repeat graph), reads->edges and reads->contigs mapping.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1164,8 +1165,11 @@ class OverlapStore:
                       else np.zeros((0, 2), np.int32))
                 anchors.append(np.asarray(km, dtype=np.int32))
                 aoff.append(aoff[-1] + len(km))
+        # publish atomically: a reader must never see a half-written
+        # shard (the barrier only proves the writer REACHED the dump)
+        tmp = f"{path}.tmp{os.getpid()}"
         np.savez_compressed(
-            path, reads=np.asarray(reads, np.int64),
+            tmp, reads=np.asarray(reads, np.int64),
             counts=np.asarray(counts, np.int64),
             cur_id=np.asarray(cur_id, np.int64),
             ext_id=np.asarray(ext_id, np.int64),
@@ -1175,6 +1179,7 @@ class OverlapStore:
             aoff=np.asarray(aoff, np.int64),
             anchors=(np.concatenate(anchors) if anchors
                      else np.zeros((0, 2), np.int32)))
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
 
     def load_shard(self, path: str) -> None:
         """Merge a dumped shard into the cache (complement lists are

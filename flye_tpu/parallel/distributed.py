@@ -109,6 +109,24 @@ def is_coordinator() -> bool:
     return get_runtime().process_index == 0
 
 
+class BarrierAborted(RuntimeError):
+    """The run's coordinator signalled completion/shutdown (DONE) while
+    this process was waiting in a barrier — e.g. a `--stop-after` stage
+    the coordinator never enters.  Callers on worker processes catch
+    this and fall back to serving the task bus / exiting cleanly."""
+
+
+_abort_file: Optional[str] = None
+
+
+def set_barrier_abort_file(path: Optional[str]) -> None:
+    """Register a sentinel (the task bus's DONE file) that aborts any
+    in-progress file_barrier wait — so workers never sit out a full
+    barrier timeout after the coordinator has already shut down."""
+    global _abort_file
+    _abort_file = path
+
+
 def file_barrier(work_dir: str, name: str, timeout_s: float = 3600.0,
                  poll_s: float = 0.05) -> None:
     """Filesystem barrier across the run's processes.
@@ -142,6 +160,9 @@ def file_barrier(work_dir: str, name: str, timeout_s: float = 3600.0,
                 for p in range(count))
         if n >= count:
             return
+        if _abort_file is not None and os.path.exists(_abort_file):
+            raise BarrierAborted(
+                f"file_barrier {name}: coordinator DONE at {n}/{count}")
         if _time.monotonic() > deadline:
             raise TimeoutError(f"file_barrier {name}: {n}/{count}")
         _time.sleep(poll_s)

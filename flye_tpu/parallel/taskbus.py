@@ -33,8 +33,11 @@ until their result appears).
 from __future__ import annotations
 
 import glob
+import json
 import logging
 import os
+import socket
+import threading
 import time
 from typing import Callable, Dict, Iterable, Optional
 
@@ -43,6 +46,8 @@ import numpy as np
 logger = logging.getLogger("flye_tpu")
 
 Handler = Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]
+
+_HEARTBEAT_S = 20.0  # claim-file touch period while a task runs
 
 _bus: Optional["TaskBus"] = None
 
@@ -63,6 +68,30 @@ class TaskBus:
         self.handlers: Dict[str, Handler] = {}
         for d in ("tasks", "claims", "results"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
+        if process_index == 0:
+            # coordinator-liveness record: same-host workers use it to
+            # notice a SIGKILLed coordinator that never wrote DONE
+            with open(os.path.join(root, "COORD"), "w") as f:
+                json.dump({"pid": os.getpid(),
+                           "host": socket.gethostname()}, f)
+
+    def coordinator_dead(self) -> bool:
+        """True when the coordinator process is provably gone (same
+        host only; cross-host workers rely on the DONE sentinel)."""
+        try:
+            with open(os.path.join(self.root, "COORD")) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if rec.get("host") != socket.gethostname():
+            return False
+        try:
+            os.kill(int(rec["pid"]), 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except OSError:
+            return False
 
     # ---- shared helpers ----
     def _path(self, kind: str, stage: str, task_id) -> str:
@@ -97,7 +126,24 @@ class TaskBus:
         stage, task_id = base.split(".")[0], base.split(".")[1]
         with np.load(claimed_path, allow_pickle=False) as z:
             payload = {k: z[k] for k in z.files}
-        out = self.handlers[stage](payload)
+        # heartbeat: touch the claim file while the handler runs so
+        # collect() can tell a slow worker (fresh mtime) from a dead
+        # one (stale mtime) and only re-runs truly orphaned claims
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(_HEARTBEAT_S):
+                try:
+                    os.utime(claimed_path)
+                except OSError:
+                    return
+
+        t = threading.Thread(target=_beat, daemon=True)
+        t.start()
+        try:
+            out = self.handlers[stage](payload)
+        finally:
+            stop.set()
         self._write_npz(self._path("results", stage, task_id), out)
 
     def _pending(self, stage: str):
@@ -138,16 +184,23 @@ class TaskBus:
                 continue
             if time.monotonic() - last_progress > reclaim_after:
                 # a worker died mid-task: re-run orphaned claims here.
-                # (Result files publish atomically; if the worker is
-                # merely slow, first publish wins and both are valid
-                # outputs of the same payload.)
+                # Live workers heartbeat their claim file (_run_task),
+                # so only claims with a STALE mtime re-run — a slow but
+                # alive worker is left alone.  (Result files publish
+                # atomically; if the worker finishes anyway, first
+                # publish wins and both are valid outputs of the same
+                # payload.)
+                now = time.time()
                 for tid in sorted(want):
                     orphans = glob.glob(os.path.join(
                         self.root, "claims", f"{stage}.{tid}.npz.*"))
-                    if orphans:
+                    stale = [p for p in orphans
+                             if now - os.path.getmtime(p) >
+                             3 * _HEARTBEAT_S]
+                    if stale:
                         logger.warning("taskbus: re-running orphaned "
                                        "task %s.%s", stage, tid)
-                        self._run_task(orphans[0])
+                        self._run_task(stale[0])
                 last_progress = time.monotonic()
                 continue
             time.sleep(0.05)
@@ -181,5 +234,10 @@ class TaskBus:
             if os.path.exists(done):
                 logger.info("taskbus worker %d: done (%d tasks)",
                             self.pid, n_done)
+                return
+            if self.coordinator_dead():
+                logger.warning("taskbus worker %d: coordinator gone "
+                               "without DONE; exiting (%d tasks)",
+                               self.pid, n_done)
                 return
             time.sleep(poll_s)

@@ -118,6 +118,27 @@ def fits_vmem(R: int, S: int, Cb: int) -> bool:
     return _pick_tile(Rp, W, Cb + 1) is not None
 
 
+def _fused_vmem_bytes(tile: int, Rp: int, W: int, C1: int) -> int:
+    """Working-set model for the single-pass fused kernel: the whole
+    backward tensor lives in VMEM scratch ((C1+1) rows of
+    [tile, Rp, W] f32), plus double-buffered branch-table input blocks
+    (sw 4 + gp + sg = 6 planes x2), ~10 live compute temporaries, and
+    the per-row input/output blocks."""
+    planes = (C1 + 1 + 22 + 8) * tile * Rp * W * 4  # +U-block stack
+    rows = 30 * tile * C1 * 4
+    return planes + rows + 2048 * tile
+
+
+def _pick_tile_fused(Rp: int, W: int, C1: int):
+    """Largest batch tile for which the fused kernel's backward scratch
+    fits the 13 MB VMEM budget; None when even tile 8 overflows (the
+    two-phase kernels take those shapes)."""
+    for tile in (128, 64, 32, 16, 8):
+        if _fused_vmem_bytes(tile, Rp, W, C1) <= 13 * 1024 * 1024:
+            return tile
+    return None
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -341,6 +362,131 @@ def _forward_score_kernel(sw_ref, gp_ref, sg_ref, b_ref,
     bprev[:] = Bi
 
 
+def _fused_score_kernel(sw_ref, gp_ref, sg_ref, cand_ref, vgap_ref,
+                        ds_ref, clen_ref, blen_ref, bmask_ref,
+                        xgap_ref, del_ref, ins4_ref, sub4_ref,
+                        total_ref, bscratch, *, Cb: int, n_shifts: int,
+                        pack: int, Wseg: int, Rp: int, U: int):
+    """Single-pass fused scoring: backward rows into VMEM scratch, then
+    forward + scoring reading the scratch — the backward tensor never
+    touches HBM.  Gated OFF by default (FLYE_TPU_FUSED=1 enables).
+
+    Round-5 measurement, production shape (64,96,8..56) on the v5e
+    chip: the two-phase kernels stream the backward tensor through HBM
+    (~4 GB/hill-climb-iteration) yet run ~20% FASTER than this fused
+    kernel (1.80 s vs 2.19 s per 8192-bubble batch at equal
+    convergence depth) — the HBM stream overlaps completely under the
+    compute, which is bound by the in-row suffix/prefix-max shift
+    chains (measured ~75% of row cost; pltpu.roll lowers identically
+    to the concat shifts).  Kept as the measured record of why the
+    "obvious" fusion is not the win the roofline model suggested, and
+    as the starting point if a future Mosaic lowers multi-op scans
+    better.  Semantics identical to the two-phase pair (same masks,
+    same NEG padding, same float reduction order per row)."""
+    sg = sg_ref[:]
+    gp = gp_ref[:]
+    TB, R, W = sg.shape
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (TB, R, W), 2)
+    if pack > 1:
+        jmod = jpos & (Wseg - 1)
+        blen3 = blen_ref[:]
+        bflat = bmask_ref[:]
+        jmod_eff = jmod
+
+        def reduce_wmax(x):
+            out = None
+            for g in range(pack):
+                m = jnp.max(x[:, :, g * Wseg:(g + 1) * Wseg], axis=2)
+                c = jnp.sum(m * bflat[:, g * Rp:(g + 1) * Rp], axis=1)
+                out = c if out is None else out + c
+            return out
+    else:
+        jmod = None
+        blen3 = blen_ref[:][:, :, None]
+        bmaskf = bmask_ref[:]
+        jmod_eff = jpos
+
+        def reduce_wmax(x):
+            return jnp.sum(jnp.max(x, axis=2) * bmaskf, axis=1)
+
+    clen = clen_ref[:, 0]
+    sw = sw_ref[:]
+    jmask = jnp.where(jmod_eff <= blen3, 0.0, NEG)
+
+    # ---- backward sweep: B[j] rows into scratch, descending ----
+    # scratch rows Cb and Cb+1 hold the base row sg (B[j >= clen] = sg
+    # via the in_range select; row Cb+1 serves the forward sweep's
+    # B[i+1] read at i = Cb).  Rows run in blocks of U (U | Cb, chosen
+    # by the caller): the inner U rows unroll statically, amortizing
+    # the fori-loop bookkeeping ~U x, and each block stores once.
+    bscratch[Cb] = sg
+    bscratch[Cb + 1] = sg
+    nTb = Cb // U
+
+    def bwd_body(t, nxt):
+        jlo = (nTb - 1 - t) * U
+        rows = [None] * U
+        for u in range(U - 1, -1, -1):
+            j = jlo + u
+            cx = _col(cand_ref, j)
+            match = _sel_match(cx, sw)
+            vg = _col(vgap_ref, j)[:, None, None]
+            dsi = _col(ds_ref, j)[:, None, None]
+            diag = jnp.where(jmod_eff < blen3,
+                             _shift_l(nxt, NEG, jmod, Wseg) + match, NEG)
+            tmp = jnp.maximum(diag, nxt + vg)
+            tmp = jnp.where(jmod_eff <= blen3, tmp, NEG)
+            row = _suffix_max(tmp - sg, n_shifts, jmod, Wseg) + sg
+            row = jnp.where((j < clen)[:, None, None], row, sg)
+            row = jnp.where(jmod_eff <= blen3, row, dsi)
+            rows[u] = row
+            nxt = row
+        bscratch[pl.ds(jlo, U)] = jnp.stack(rows, axis=0)
+        return nxt
+
+    jax.lax.fori_loop(0, nTb, bwd_body, sg, unroll=1)
+
+    # ---- forward sweep + scoring ----
+    B0 = bscratch[0]                                        # B[0]
+    if pack > 1:
+        tot = reduce_wmax(jnp.where(jmod == 0, B0, NEG))
+    else:
+        tot = jnp.sum(B0[:, :, 0] * bmaskf, axis=1)
+    total_ref[:] = jnp.broadcast_to(tot[:, None], total_ref.shape)
+
+    def score_at(i, F, Bi, B1, advance: bool):
+        _setcol(del_ref, i, reduce_wmax(F + (B1 + jmask)))
+        B0m = Bi + jmask
+        B1m = B1 + jmask
+        for x in range(4):
+            mx = sw[x]
+            xg = xgap_ref[0, x]
+            subx = jnp.maximum(_shift_r(F + mx, NEG, jmod), F + xg)
+            _setcol3(ins4_ref, x, i, reduce_wmax(subx + B0m))
+            _setcol3(sub4_ref, x, i, reduce_wmax(subx + B1m))
+        if not advance:
+            return F
+        cx = _col(cand_ref, i)
+        match = _sel_match(cx, sw)
+        vg = _col(vgap_ref, i)[:, None, None]
+        tmp = jnp.maximum(_shift_r(F + match, NEG, jmod), F + vg)
+        return _prefix_max(tmp - gp, n_shifts, jmod) + gp
+
+    def fwd_body(t, carry):
+        F, Bi = carry
+        blk = bscratch[pl.ds(t * U + 1, U)]           # B[tU+1 .. tU+U]
+        for u in range(U):
+            B1 = blk[u]
+            F = score_at(t * U + u, F, Bi, B1, advance=True)
+            Bi = B1
+        return F, Bi
+
+    F, Bi = jax.lax.fori_loop(0, nTb, fwd_body, (gp, B0), unroll=1)
+    # epilogue: position i = Cb (insert-at-end; B[Cb+1] = sg, no
+    # further F advance)
+    score_at(Cb, F, Bi, sg, advance=False)
+
+
 def prepare_branches_pallas(branches, blen, bmask, subs):
     """Precompute the branch-side tables (constant across hill-climb
     iterations): padded match planes, gap prefix/suffix costs, masks."""
@@ -450,6 +596,82 @@ def score_edits_pallas(cand, cand_len, branches, blen, bmask, subs,
                               groups=1)
 
 
+def _score_edits_fused(cand, cand_len, sw_p, gp_p, sg_p, blen_p,
+                       bmask_p, xgaps, pack: int, Wseg: int,
+                       n_shifts: int, tile: int, interpret: bool):
+    """Single-kernel scoring: grid over batch tiles only (see
+    _fused_score_kernel)."""
+    Bb, Cb = cand.shape
+    _, Bp, Rp, W = sw_p.shape
+    pad_b = Bp - Bb
+    C1 = Cb + 1
+    # per-candidate tables (xgaps[0] == subs[:4, 4], the per-char gap
+    # costs — the only piece of the substitution matrix needed here)
+    c1h = jax.nn.one_hot(cand, 4, dtype=jnp.float32)
+    vgap_all = jnp.einsum("bcx,x->bc", c1h, xgaps[0])
+    live_c = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Cb), 1) <
+              cand_len[:, None])
+    vgap_m = jnp.where(live_c, vgap_all, 0.0)
+    csum = jnp.cumsum(vgap_m, axis=1)
+    ds = jnp.concatenate([jnp.zeros((Bb, 1), jnp.float32), csum], axis=1)
+    ds = csum[:, -1:] - ds
+    cand_pad = jnp.pad(cand, ((0, pad_b), (0, 1)))
+    vgap_pad = jnp.pad(vgap_m, ((0, pad_b), (0, 1)))
+    ds_pad = jnp.pad(ds, ((0, pad_b), (0, 0)))
+    clen_p = jnp.pad(cand_len, (0, pad_b))[:, None]
+
+    nB = Bp // tile
+    U = next(u for u in (8, 4, 2, 1) if Cb % u == 0)
+    kdims = dict(Cb=Cb, n_shifts=n_shifts, pack=pack, Wseg=Wseg, Rp=Rp,
+                 U=U)
+    vmem_full = pl.BlockSpec((4, tile, Rp, W), lambda b: (0, b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vmem_brw = pl.BlockSpec((tile, Rp, W), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vmem_br = pl.BlockSpec((tile, bmask_p.shape[1]), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)
+    vmem_blen = vmem_brw if pack > 1 else vmem_br
+    vmem_b1 = pl.BlockSpec((tile, 1), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)
+    vmem_rows = pl.BlockSpec((tile, C1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)
+    vmem_rows4 = pl.BlockSpec((4, tile, C1), lambda b: (0, b, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_fused_score_kernel, **kdims),
+        grid=(nB,),
+        in_specs=[
+            vmem_full, vmem_brw, vmem_brw,
+            vmem_rows,                                # cand
+            vmem_rows,                                # vgap
+            vmem_rows,                                # ds
+            vmem_b1, vmem_blen, vmem_br,
+            pl.BlockSpec((8, 4), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            vmem_rows,                                # del (raw)
+            vmem_rows4,                               # ins4 (raw)
+            vmem_rows4,                               # sub4 (raw)
+            pl.BlockSpec((tile, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),    # total
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((4, Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((4, Bp, C1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Cb + 2, tile, Rp, W), jnp.float32)],
+        interpret=interpret,
+    )(sw_p, gp_p, sg_p, cand_pad, vgap_pad, ds_pad, clen_p, blen_p,
+      bmask_p, xgaps)
+    del_raw, ins4, sub4, total = outs
+    return (total[:Bb, 0], del_raw[:Bb, :Cb].T,
+            ins4[:, :Bb].transpose(0, 2, 1),
+            sub4[:, :Bb, :Cb].transpose(0, 2, 1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("pack", "Wseg", "interpret"))
 def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
@@ -462,11 +684,22 @@ def _score_edits_pallas(cand, cand_len, subs, sw_p, gp_p, sg_p,
     n_shifts = (Wseg - 1).bit_length()
     pad_b = Bp - Bb
     C1 = Cb + 1
+    import os
+    use_fused = bool(os.environ.get("FLYE_TPU_FUSED"))
+    tile_f = _pick_tile_fused(Rp, W, C1) if use_fused else None
     picked = _pick_tile(Rp, W, C1)
-    if picked is None:
+    if picked is None and tile_f is None and use_fused:
+        tile_f = _pick_tile_fused(Rp, W, C1)
+    if picked is None and tile_f is None:
         raise ValueError(
             f"bucket Rp={Rp} W={W} exceeds VMEM even at tile 8; "
             "guard calls with fits_vmem()")
+    if tile_f is not None:
+        while tile_f > 8 and Bp % tile_f:
+            tile_f //= 2
+        return _score_edits_fused(
+            cand, cand_len, sw_p, gp_p, sg_p, blen_p, bmask_p, xgaps,
+            pack, Wseg, n_shifts, tile_f, interpret)
     tile, U = picked
     while tile > 8 and Bp % tile:  # grid tiles must divide the batch
         tile //= 2

@@ -33,8 +33,13 @@ logger = logging.getLogger("flye_tpu")
 # land in shapes the Pallas kernels can pack 4/2 branches per 128-lane
 # row (ops/polish_pallas.pack_for) instead of padding one short branch
 # to a full row.
-_SIZE_BUCKETS = ((32, 31), (48, 63), (64, 96), (160, 240), (384, 576),
-                 (768, 1152), (1536, 2304))
+# (96,127) keeps the branch row at one 128-lane tile (W=128) for spans
+# up to ~46 draft bases — without it every window of span 21-121 fell
+# into (160,240), whose per-iteration cost is ~4.9x the (64,96) shape
+# (162 vs 66 DP rows x W 256 vs 128; measured 4.6x wall per bubble on
+# the 420 kb run)
+_SIZE_BUCKETS = ((32, 31), (48, 63), (64, 96), (96, 127), (160, 240),
+                 (384, 576), (768, 1152), (1536, 2304))
 _R_BUCKETS = (8, 16, 32, 56)
 _MEM_BUDGET = 1 << 30  # ~1GB of f32 DP tensor per kernel call
 _PRE_POLISH = 5        # median-length branch prepass threshold x2
@@ -148,6 +153,17 @@ def _quantize_batch(n: int, max_b: int) -> int:
     return min(q, max_b)
 
 
+# stage-1 iteration cap for the device convergence loop (must be EVEN:
+# the block-parity alternation in _select_apply depends on it%2, and an
+# even cutoff makes a restart-at-0 continue the exact same edit
+# schedule, so two-stage results are byte-identical to a single deep
+# run).  Measured distributions (420 kb E2E, --debug): iters med/max
+# ~7/37 on consensus buckets, ~2/9 on polish buckets — the lockstep
+# batch pays the max, so rerunning the few stragglers in a compact
+# batch saves ~1.5-2.5x of kernel wall.
+_STAGE1_ITERS = 8
+
+
 def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
                 cb: int, sb: int, rb: int, subs: np.ndarray) -> None:
     """Polish a homogeneous bucket of bubbles in device batches.
@@ -157,12 +173,23 @@ def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
     async dispatch then overlaps host packing + input transfer with the
     on-device convergence loop (the fetch is the only blocking point;
     on this deployment the input transfer rides a ~30 MB/s tunnel and
-    was a comparable cost to the compute itself)."""
+    was a comparable cost to the compute itself).
+
+    Two-stage convergence (round 5): every chunk first runs at most
+    _STAGE1_ITERS iterations; lanes that didn't converge re-batch
+    compactly and run to full depth.  Lockstep batches otherwise run
+    every lane until the SLOWEST converges (compute is proportional to
+    batch width x iterations, converged lanes burn lanes as padding)."""
     import time
 
-    max_b = _max_batch(cb, sb, rb)
+    import jax
 
-    def fetch(pend):
+    max_b = _max_batch(cb, sb, rb)
+    two_stage = jax.default_backend() == "tpu"
+    stage1 = _STAGE1_ITERS if two_stage else 2 * cb
+    retry: List[Tuple[Bubble, List[np.ndarray]]] = []
+
+    def fetch(pend, collect_retry):
         chunk, B, t0, out = pend
         out_c = np.asarray(out[0])
         out_l = np.asarray(out[1])
@@ -171,23 +198,32 @@ def _run_bucket(items: List[Tuple[Bubble, List[np.ndarray]]],
             "bucket (%d,%d,%d) x%d: %.1fs, iters med/max %d/%d",
             cb, sb, rb, B, time.perf_counter() - t0,
             int(np.median(it_h)), int(it_h.max()))
-        for i, (b, _) in enumerate(chunk):
+        for i, (b, brs) in enumerate(chunk):
             b.polished = out_c[i, :out_l[i]].copy()
+            if collect_retry and it_h[i] >= stage1:
+                retry.append((b, brs))
 
-    pend = None
-    for lo in range(0, len(items), max_b):
-        chunk = items[lo:lo + max_b]
-        B = _quantize_batch(len(chunk), max_b)
-        cand, clen, branches, blen, bmask = _pack_chunk(
-            chunk, cb, sb, rb, B)
-        t0 = time.perf_counter()
-        out = polish_bubbles(cand, clen, branches, blen, bmask, subs,
-                             max_iters=2 * cb)
+    def run_chunks(chunks_src, iters, collect_retry):
+        pend = None
+        for lo in range(0, len(chunks_src), max_b):
+            chunk = chunks_src[lo:lo + max_b]
+            B = _quantize_batch(len(chunk), max_b)
+            cand, clen, branches, blen, bmask = _pack_chunk(
+                chunk, cb, sb, rb, B)
+            t0 = time.perf_counter()
+            out = polish_bubbles(cand, clen, branches, blen, bmask,
+                                 subs, max_iters=iters)
+            if pend is not None:
+                fetch(pend, collect_retry)
+            pend = (chunk, B, t0, out)
         if pend is not None:
-            fetch(pend)
-        pend = (chunk, B, t0, out)
-    if pend is not None:
-        fetch(pend)
+            fetch(pend, collect_retry)
+
+    run_chunks(items, stage1, two_stage)
+    if retry:
+        logger.debug("bucket (%d,%d,%d): %d/%d lanes to full depth",
+                     cb, sb, rb, len(retry), len(items))
+        run_chunks(retry, 2 * cb, False)
 
 
 # ---- multi-process fan-out over the file bus ----

@@ -73,6 +73,7 @@ _REFINE_M = 12  # boundary-marker length (bases)
 # homopolymer / dinucleotide repeat), at least _MIN_SEP apart
 _SIMPLE_HALF = 4   # reference simple_kmer_length = 4 -> +-4 context
 _MIN_SEP = 10      # reference solid_kmer_length advance
+_TARGET_SPAN = 44  # spans above this leave the W=128 kernel buckets
 
 
 def _simple_mask(d: np.ndarray) -> np.ndarray:
@@ -182,19 +183,53 @@ def make_bubbles(target_id: int, draft: np.ndarray,
     thr = max(min_boundary_frac, 0.5 * med)
     cand = np.flatnonzero((qual >= thr) & simple)
     cand = cand[(cand >= _MIN_SEP) & (cand < L - _MIN_SEP)]
+    # relaxed cut tier: spans longer than _TARGET_SPAN fall off the
+    # fast kernel buckets (a span-50 window costs ~3-5x a span-20 one
+    # per bubble — polisher bucket geometry), so inside long gaps a
+    # weaker anchor-supported simple position still beats either a
+    # long window or the blind max_bubble hard cut (which has no
+    # anchor support at all)
+    relax_ok = (qual >= max(0.5 * thr, 1e-9)) & simple
+    relax_ok[:_MIN_SEP] = False
+    relax_ok[max(0, L - _MIN_SEP):] = False
+    qual_r = np.where(relax_ok, qual, -1.0)
     boundaries = [0]
     prev = 0
+
+    def fill_gap(prev, nxt):
+        """Insert relaxed cuts so pieces stay <= _TARGET_SPAN where any
+        relaxed position allows it; fall back to max_bubble hard cuts
+        across true anchor deserts."""
+        while nxt - prev > _TARGET_SPAN:
+            lo = prev + _MIN_SEP
+            hi = min(prev + _TARGET_SPAN, nxt - _MIN_SEP)
+            if hi <= lo:
+                break
+            # prefer the upper half of the window (fewer junctions),
+            # best quality within it
+            half = max(lo, hi - (_TARGET_SPAN // 2))
+            seg = qual_r[half:hi + 1]
+            if seg.size and seg.max() > 0:
+                cut = half + int(seg.argmax())
+            else:
+                seg = qual_r[lo:hi + 1]
+                if seg.size and seg.max() > 0:
+                    cut = lo + int(seg.argmax())
+                elif nxt - prev > max_bubble:
+                    cut = prev + max_bubble
+                else:
+                    break
+            boundaries.append(cut)
+            prev = cut
+        return prev
+
     for c in cand:
         c = int(c)
-        while c - prev > max_bubble:
-            prev = prev + max_bubble
-            boundaries.append(prev)
+        prev = fill_gap(prev, c)
         if c - prev >= _MIN_SEP:
             boundaries.append(c)
             prev = c
-    while L - prev > max_bubble:
-        prev = prev + max_bubble
-        boundaries.append(prev)
+    prev = fill_gap(prev, L)
     boundaries.append(L)
     # strict ascent: bubble index bi must equal its boundary-pair index
     # (the vectorized slicing below relies on that mapping)

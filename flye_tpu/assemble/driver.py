@@ -90,7 +90,9 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         use_hpc=bool(cfg.hpc_scoring_on),
         max_cur_overlaps=max_cur_overlaps,
     )
-    ovlp_store = OverlapStore(engine, store)
+    # packed columnar cache: the ava store is prefetch + read-only
+    # access, the dominant host allocation at scale (overlap/packed.py)
+    ovlp_store = OverlapStore(engine, store, packed=True)
     with stage_timer("divergence estimation"):
         ovlp_store.estimate_overlaper_parameters()
         ovlp_store.set_divergence_threshold(

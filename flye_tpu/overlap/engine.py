@@ -875,13 +875,56 @@ class OverlapEngine:
 
 class OverlapStore:
     """Lazy per-read overlap cache with symmetrization and dedup filtering
-    (reference: OverlapContainer, src/sequence/overlap.cpp:528-741)."""
+    (reference: OverlapContainer, src/sequence/overlap.cpp:528-741).
 
-    def __init__(self, engine: OverlapEngine, query_store: SequenceStore):
+    packed=True stores the cache in the columnar arena
+    (overlap/packed.py, ~3-4x less RSS than Overlap-object lists) and
+    materializes objects on access through a small LRU; use it for
+    read-only stores (the ava store: prefetch + lazy access).  Stores
+    that mutate their lists in place (ensure_transitivity /
+    filter_overlaps — the repeat driver's read-vs-disjointig store)
+    must keep packed=False."""
+
+    # materialized working set: the disjointig extender walks a local
+    # neighborhood of reads repeatedly; ~1k reads x ~60 overlaps of
+    # objects is ~25 MB — decode cost off the hot loop, RSS bounded
+    _LRU_SIZE = 1024
+
+    def __init__(self, engine: OverlapEngine, query_store: SequenceStore,
+                 packed: bool = False):
+        from collections import OrderedDict
+
+        from flye_tpu.overlap.packed import PackedOverlaps
         self.engine = engine
         self.queries = query_store
         self._cache: Dict[int, Tuple[List[Overlap], List[Overlap]]] = {}
+        self._packed: Optional[PackedOverlaps] = (
+            PackedOverlaps() if packed else None)
+        self._lru: "OrderedDict[int, List[Overlap]]" = OrderedDict()
         self.mean_true_divergence: float = 0.5
+
+    def _cached_reads(self):
+        """All fwd ids present in either representation."""
+        if self._packed is None:
+            return list(self._cache.keys())
+        seen = set(self._cache.keys())
+        out = list(self._cache.keys())
+        out.extend(r for r in self._packed.reads() if r not in seen)
+        return out
+
+    def _materialize(self, sid: int) -> List[Overlap]:
+        """Packed-store access with an LRU of materialized lists."""
+        lst = self._lru.get(sid)
+        if lst is not None:
+            self._lru.move_to_end(sid)
+            return lst
+        fwd_id = sid & ~1
+        fwd = self._packed.get(fwd_id)
+        lst = fwd if sid % 2 == 0 else [o.complement() for o in fwd]
+        self._lru[sid] = lst
+        if len(self._lru) > self._LRU_SIZE:
+            self._lru.popitem(last=False)
+        return lst
 
     def quick_overlaps(self, sid: int, max_overlaps: int = 0,
                        force_local: bool = False) -> List[Overlap]:
@@ -893,9 +936,14 @@ class OverlapStore:
         fwd_id = sid & ~1
         entry = self._cache.get(fwd_id)
         if entry is None:
+            if self._packed is not None and fwd_id in self._packed:
+                return self._materialize(sid)
             ovlps = self.engine.get_overlaps(
                 self.queries, fwd_id,
                 max_overlaps=self.engine.max_cur_overlaps)
+            if self._packed is not None:
+                self._packed.add(fwd_id, ovlps)
+                return self._materialize(sid)
             rev = [o.complement() for o in ovlps]
             entry = (ovlps, rev)
             self._cache[fwd_id] = entry
@@ -917,7 +965,9 @@ class OverlapStore:
         seen = set()
         for sid in sids:
             fwd = sid & ~1
-            if fwd not in self._cache and fwd not in seen:
+            if (fwd not in self._cache and fwd not in seen
+                    and (self._packed is None
+                         or fwd not in self._packed)):
                 seen.add(fwd)
                 todo.append(fwd)
         # group by similar length for padding efficiency
@@ -951,8 +1001,11 @@ class OverlapStore:
                 group, fut = futs.pop(0)
                 res = fut.result()
                 for sid, ovlps in res.items():
-                    self._cache[sid] = (ovlps,
-                                        [o.complement() for o in ovlps])
+                    if self._packed is not None:
+                        self._packed.add(sid, ovlps)
+                    else:
+                        self._cache[sid] = (
+                            ovlps, [o.complement() for o in ovlps])
                 done += len(group)
                 if (progress_every and done // progress_every !=
                         (done - len(group)) // progress_every):
@@ -983,6 +1036,8 @@ class OverlapStore:
     def ensure_transitivity(self, only_max_ext: bool) -> None:
         """Make the overlap relation symmetric
         (reference: overlap.cpp:576-627)."""
+        assert self._packed is None, \
+            "transitivity mutates lists in place; use packed=False"
         all_ids = []
         for fwd_id in list(self._cache.keys()):
             all_ids.extend([fwd_id, fwd_id + 1])
@@ -1144,7 +1199,7 @@ class OverlapStore:
         filesystem — the per-host generalization of the reference's
         inter-stage file bus, e.g. its alignment dumps,
         reference: src/repeat_graph/read_aligner.h:32-33)."""
-        reads = sorted(self._cache.keys())
+        reads = sorted(self._cached_reads())
         counts = []
         cur_id, ext_id = [], []
         coords = []
@@ -1152,7 +1207,7 @@ class OverlapStore:
         aoff = [0]
         anchors = []
         for fwd in reads:
-            ovlps = self._cache[fwd][0]
+            ovlps = self._fwd_list(fwd)
             counts.append(len(ovlps))
             for o in ovlps:
                 cur_id.append(o.cur_id)
@@ -1210,12 +1265,22 @@ class OverlapStore:
                 ov.kmer_matches = km if len(km) else None
                 ovlps.append(ov)
                 v += 1
-            self._cache[int(fwd)] = (ovlps,
-                                     [o.complement() for o in ovlps])
+            if self._packed is not None:
+                self._packed.add(int(fwd), ovlps)
+            else:
+                self._cache[int(fwd)] = (ovlps,
+                                         [o.complement() for o in ovlps])
+
+    def _fwd_list(self, fwd_id: int) -> List[Overlap]:
+        entry = self._cache.get(fwd_id)
+        if entry is not None:
+            return entry[0]
+        return self._packed.get(fwd_id)
 
     def all_overlaps(self) -> List[Overlap]:
         out = []
-        for fwd_id, (f, r) in self._cache.items():
+        for fwd_id in self._cached_reads():
+            f = self._fwd_list(fwd_id)
             out.extend(f)
-            out.extend(r)
+            out.extend(o.complement() for o in f)
         return out

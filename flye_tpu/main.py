@@ -550,7 +550,8 @@ def run_pipeline(args) -> int:
         # workers abort barrier waits once the coordinator writes DONE
         # (e.g. a --stop-after stage the coordinator never enters)
         set_barrier_abort_file(os.path.join(bus_dir, "DONE"))
-        register_polish_handlers(bus, prefer_native=not coordinator)
+        register_polish_handlers(bus, prefer_native=not coordinator,
+                                 reads_provider=ctx.load_reads)
         if coordinator:
             set_bus(bus)
 

@@ -59,12 +59,19 @@ class ReadMapper:
         return keep[:self.max_secondary + 1]
 
     def map_all(self, reads: SequenceStore,
-                progress_every: int = 0) -> Dict[int, List[Overlap]]:
+                progress_every: int = 0,
+                ids=None) -> Dict[int, List[Overlap]]:
         """Map every read (both orientations resolved by the engine's
         strand-aware matches). Returns {target_id: [overlaps with
-        cur=target, ext=read]} sorted by target coordinate."""
+        cur=target, ext=read]} sorted by target coordinate.
+
+        ids restricts mapping to a read subset (the multi-process
+        partition path).  The per-target sort key is a full composite
+        so the merged order is identical no matter how the read set was
+        partitioned across processes."""
         by_target: Dict[int, List[Overlap]] = {}
-        ids = sorted(reads.ids(), key=reads.length)
+        ids = sorted(reads.ids() if ids is None else ids,
+                     key=reads.length)
         done = 0
         # 2-deep thread pipeline, same rationale as OverlapStore.prefetch:
         # one batch's device wait overlaps the other's native host work
@@ -98,9 +105,18 @@ class ReadMapper:
                     (done - len(group)) // progress_every):
                 logger.info("mapped %d/%d reads", done, len(ids))
         ex.shutdown()
-        for tid in by_target:
-            by_target[tid].sort(key=lambda o: o.cur_begin)
+        sort_by_target(by_target)
         return by_target
+
+
+def sort_by_target(by_target: Dict[int, List[Overlap]]) -> None:
+    """Deterministic per-target alignment order (composite key — the
+    arrival order from threaded batches or multi-process merge must not
+    leak into downstream bubble branch order)."""
+    for tid in by_target:
+        by_target[tid].sort(
+            key=lambda o: (o.cur_begin, o.ext_id, o.cur_end,
+                           o.ext_begin))
 
 
 def uniform_alignments(alignments: List[Overlap], target_len: int,

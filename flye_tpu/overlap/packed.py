@@ -44,6 +44,79 @@ REC_DT = np.dtype([
 _D16_MAX = 32000  # per-component delta magnitude the int16 arena takes
 
 
+def encode_overlaps(ovlps: List[Overlap]):
+    """Flat (recs, d16, raw) arrays for a list of overlaps — the same
+    layout PackedOverlaps stores per read, usable standalone for file
+    transport (the task-bus mapping partition ships per-target
+    alignment lists this way)."""
+    n = len(ovlps)
+    recs = np.zeros(n, REC_DT)
+    d16_parts: List[np.ndarray] = []
+    raw_parts: List[np.ndarray] = []
+    off16 = 0
+    offraw = 0
+    for i, o in enumerate(ovlps):
+        r = recs[i]
+        r["cur_id"] = o.cur_id
+        r["ext_id"] = o.ext_id
+        r["cb"], r["ce"], r["cl"] = o.cur_begin, o.cur_end, o.cur_len
+        r["eb"], r["ee"], r["el"] = o.ext_begin, o.ext_end, o.ext_len
+        r["score"] = o.score
+        r["div"] = o.divergence
+        km = o.kmer_matches
+        if km is None or len(km) == 0:
+            r["a_n"] = 0
+            continue
+        km = np.asarray(km, np.int64)
+        r["a_n"] = len(km)
+        r["first_c"], r["first_e"] = int(km[0, 0]), int(km[0, 1])
+        if len(km) == 1:
+            r["a_off"] = off16
+            continue
+        d = np.diff(km, axis=0)
+        if np.abs(d).max() <= _D16_MAX:
+            r["a_off"] = off16
+            d16_parts.append(d.astype(np.int16).ravel())
+            off16 += len(km) - 1
+        else:
+            r["a_off"] = ~offraw
+            raw_parts.append(km.astype(np.int32).ravel())
+            offraw += len(km)
+    d16 = (np.concatenate(d16_parts) if d16_parts
+           else np.zeros(0, np.int16))
+    raw = (np.concatenate(raw_parts) if raw_parts
+           else np.zeros(0, np.int32))
+    return recs, d16, raw
+
+
+def decode_overlaps(recs, d16, raw) -> List[Overlap]:
+    """Inverse of encode_overlaps."""
+    out: List[Overlap] = []
+    for r in recs:
+        ov = Overlap(int(r["cur_id"]), int(r["ext_id"]),
+                     int(r["cb"]), int(r["ce"]), int(r["cl"]),
+                     int(r["eb"]), int(r["ee"]), int(r["el"]),
+                     score=int(r["score"]),
+                     divergence=float(r["div"]))
+        n = int(r["a_n"])
+        if n > 0:
+            off = int(r["a_off"])
+            if off >= 0:
+                km = np.empty((n, 2), np.int32)
+                km[0, 0] = r["first_c"]
+                km[0, 1] = r["first_e"]
+                if n > 1:
+                    d = d16[off * 2:(off + n - 1) * 2]
+                    km[1:] = d.reshape(n - 1, 2)
+                    np.cumsum(km, axis=0, out=km)
+            else:
+                o = ~off
+                km = raw[o * 2:(o + n) * 2].reshape(n, 2).copy()
+            ov.kmer_matches = km
+        out.append(ov)
+    return out
+
+
 class PackedOverlaps:
     """fwd_id -> packed forward-overlap list (complements derived)."""
 
@@ -71,44 +144,11 @@ class PackedOverlaps:
 
     # ---- encode ----
     def add(self, fwd_id: int, ovlps: List[Overlap]) -> None:
-        n = len(ovlps)
-        recs = np.zeros(n, REC_DT)
-        d16_parts: List[np.ndarray] = []
-        raw_parts: List[np.ndarray] = []
-        off16 = 0
-        offraw = 0
-        for i, o in enumerate(ovlps):
-            r = recs[i]
-            r["cur_id"] = o.cur_id
-            r["ext_id"] = o.ext_id
-            r["cb"], r["ce"], r["cl"] = o.cur_begin, o.cur_end, o.cur_len
-            r["eb"], r["ee"], r["el"] = o.ext_begin, o.ext_end, o.ext_len
-            r["score"] = o.score
-            r["div"] = o.divergence
-            km = o.kmer_matches
-            if km is None or len(km) == 0:
-                r["a_n"] = 0
-                continue
-            km = np.asarray(km, np.int64)
-            r["a_n"] = len(km)
-            r["first_c"], r["first_e"] = int(km[0, 0]), int(km[0, 1])
-            if len(km) == 1:
-                r["a_off"] = off16
-                continue
-            d = np.diff(km, axis=0)
-            if np.abs(d).max() <= _D16_MAX:
-                r["a_off"] = off16
-                d16_parts.append(d.astype(np.int16).ravel())
-                off16 += len(km) - 1
-            else:
-                r["a_off"] = ~offraw
-                raw_parts.append(km.astype(np.int32).ravel())
-                offraw += len(km)
+        recs, d16, raw = encode_overlaps(ovlps)
         self._recs[fwd_id] = recs
-        self._d16[fwd_id] = (np.concatenate(d16_parts)
-                             if d16_parts else np.zeros(0, np.int16))
-        if raw_parts:
-            self._raw[fwd_id] = np.concatenate(raw_parts)
+        self._d16[fwd_id] = d16
+        if len(raw):
+            self._raw[fwd_id] = raw
 
     def pop(self, fwd_id: int) -> None:
         self._recs.pop(fwd_id, None)
@@ -117,30 +157,6 @@ class PackedOverlaps:
 
     # ---- decode ----
     def get(self, fwd_id: int) -> List[Overlap]:
-        recs = self._recs[fwd_id]
-        d16 = self._d16.get(fwd_id)
-        raw = self._raw.get(fwd_id)
-        out: List[Overlap] = []
-        for r in recs:
-            ov = Overlap(int(r["cur_id"]), int(r["ext_id"]),
-                         int(r["cb"]), int(r["ce"]), int(r["cl"]),
-                         int(r["eb"]), int(r["ee"]), int(r["el"]),
-                         score=int(r["score"]),
-                         divergence=float(r["div"]))
-            n = int(r["a_n"])
-            if n > 0:
-                off = int(r["a_off"])
-                if off >= 0:
-                    km = np.empty((n, 2), np.int32)
-                    km[0, 0] = r["first_c"]
-                    km[0, 1] = r["first_e"]
-                    if n > 1:
-                        d = d16[off * 2:(off + n - 1) * 2]
-                        km[1:] = d.reshape(n - 1, 2)
-                        np.cumsum(km, axis=0, out=km)
-                else:
-                    o = ~off
-                    km = raw[o * 2:(o + n) * 2].reshape(n, 2).copy()
-                ov.kmer_matches = km
-            out.append(ov)
-        return out
+        return decode_overlaps(self._recs[fwd_id],
+                               self._d16.get(fwd_id),
+                               self._raw.get(fwd_id))

@@ -1226,7 +1226,8 @@ static void hopo_one(const unsigned char* cand, int64_t clen,
                      const unsigned char* br_flat, const int64_t* br_off,
                      int64_t b0, int64_t b1, const double* obs_logp,
                      const double* genome_logp, int min_run,
-                     int min_units, std::vector<unsigned char>& out) {
+                     int min_units, int min_obs, double margin,
+                     std::vector<unsigned char>& out) {
   out.clear();
   const int64_t nb = b1 - b0;
   if (nb == 0 || clen == 0) {
@@ -1259,8 +1260,9 @@ static void hopo_one(const unsigned char* cand, int64_t clen,
           if (found) obs.push_back(std::min(r, kHopoMaxObs));
         }
         int64_t best_len = length;
-        if ((int64_t)obs.size() >= 2) {
+        if ((int64_t)obs.size() >= min_obs) {
           double best_ll = -std::numeric_limits<double>::infinity();
+          double cur_ll = -std::numeric_limits<double>::infinity();
           const int64_t lo_l = std::max<int64_t>(1, length - 1);
           const int64_t hi_l =
               std::min<int64_t>(kHopoMaxState, length + 2);
@@ -1275,10 +1277,15 @@ static void hopo_one(const unsigned char* cand, int64_t clen,
             }
             const double ll =
                 genome_logp[nucl * (kHopoMaxState + 1) + L] + s;
+            if (L == length) cur_ll = ll;
             if (ll > best_ll) {
               best_ll = ll;
               best_len = L;
             }
+          }
+          // evidence gate (mirrors polish_homopolymers min_obs/margin)
+          if (best_len != length && best_ll - cur_ll <= margin) {
+            best_len = length;
           }
         }
         out.insert(out.end(), (size_t)best_len, (unsigned char)nucl);
@@ -1372,9 +1379,11 @@ static void hopo_one(const unsigned char* cand, int64_t clen,
 static PyObject* polish_hopo_host(PyObject*, PyObject* args) {
   Py_buffer cand_b, coff_b, br_b, broff_b, bboff_b, obs_b, gen_b;
   int min_run, min_units;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*ii", &cand_b, &coff_b,
+  int min_obs = 2;
+  double margin = 0.0;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*ii|id", &cand_b, &coff_b,
                         &br_b, &broff_b, &bboff_b, &obs_b, &gen_b,
-                        &min_run, &min_units)) {
+                        &min_run, &min_units, &min_obs, &margin)) {
     return nullptr;
   }
   const unsigned char* cand = static_cast<const unsigned char*>(cand_b.buf);
@@ -1395,7 +1404,8 @@ static PyObject* polish_hopo_host(PyObject*, PyObject* args) {
         if (b >= B) return;
         hopo_one(cand + coff[b], coff[b + 1] - coff[b], brf, broff,
                  bboff[b], bboff[b + 1], obs_logp, genome_logp,
-                 min_run, min_units, outs[(size_t)b]);
+                 min_run, min_units, min_obs, margin,
+                 outs[(size_t)b]);
       }
     };
     unsigned hw = std::thread::hardware_concurrency();

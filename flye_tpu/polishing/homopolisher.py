@@ -95,9 +95,20 @@ def _branch_run_at(branch: np.ndarray, nucl: int, center: int,
 def polish_homopolymers(candidate: np.ndarray,
                         branches: List[np.ndarray],
                         platform: str,
-                        min_run: int = 4) -> np.ndarray:
+                        min_run: int = 4,
+                        min_obs: int = 2,
+                        margin: float = 0.0) -> np.ndarray:
     """Re-estimate each homopolymer run's length by ML
-    (reference: homo_polisher.cpp:220-280 mostLikelyLen/likelihood)."""
+    (reference: homo_polisher.cpp:220-280 mostLikelyLen/likelihood).
+
+    min_obs / margin gate the correction: a run length only changes
+    when at least min_obs branches observe the run AND the alternative
+    beats the current length's likelihood by more than `margin` (the
+    reference guards the same decision with its compareTopTwo
+    common-observation re-scoring, homo_polisher.cpp:271-310; the
+    margin is this port's equivalent evidence bar — measured on the
+    420 kb parity set, an ungated pass INTRODUCES errors at <=6-branch
+    coverage where the instrument-bias prior overrides thin data)."""
     if not branches or len(candidate) == 0:
         return candidate
     obs_logp, genome_logp = get_hopo_model(platform)
@@ -114,18 +125,23 @@ def polish_homopolymers(candidate: np.ndarray,
             r = _branch_run_at(b, nucl, int(center * sc), length + 4)
             if r is not None:
                 obs.append(min(r, _MAX_OBS))
-        if len(obs) < 2:
+        if len(obs) < min_obs:
             out_parts.append(candidate[start:start + length])
             continue
         # likelihood over adjacent state lengths (window-located
         # observations are only trustworthy for +-1 decisions)
         cand_lens = range(max(1, length - 1), min(_MAX_STATE, length + 2))
         best_len, best_ll = length, -np.inf
+        cur_ll = -np.inf
         for L in cand_lens:
             ll = float(genome_logp[nucl, L]) + sum(
                 float(obs_logp[nucl, L, o]) for o in obs)
+            if L == length:
+                cur_ll = ll
             if ll > best_ll:
                 best_ll, best_len = ll, L
+        if best_len != length and best_ll - cur_ll <= margin:
+            best_len = length
         out_parts.append(np.full(best_len, nucl, dtype=np.uint8))
     return np.concatenate(out_parts) if out_parts else candidate
 

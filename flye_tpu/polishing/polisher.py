@@ -43,6 +43,13 @@ _SIZE_BUCKETS = ((32, 31), (48, 63), (64, 96), (96, 127), (160, 240),
 _R_BUCKETS = (8, 16, 32, 56)
 _MEM_BUDGET = 1 << 30  # ~1GB of f32 DP tensor per kernel call
 _PRE_POLISH = 5        # median-length branch prepass threshold x2
+# homopolymer-pass evidence gate (see polish_homopolymers): a run
+# length only changes on >= _HOPO_MIN_OBS branch observations AND a
+# likelihood margin over keeping the current length — swept on the
+# 420 kb parity set, where the ungated pass was a net error SOURCE at
+# <=6-branch coverage (its instrument prior overrode thin data)
+_HOPO_MIN_OBS = 2
+_HOPO_MARGIN = 0.0
 
 
 def _bucket_for(c: int, s: int) -> Tuple[int, int]:
@@ -478,14 +485,16 @@ def _run_hopo_phase(bubbles: List[Bubble], platform: str) -> None:
             br_off, bb_off,
             np.ascontiguousarray(obs_logp, np.float64),
             np.ascontiguousarray(genome_logp, np.float64),
-            4, 3)
+            4, 3, _HOPO_MIN_OBS, _HOPO_MARGIN)
         out_flat = np.frombuffer(out_flat_b, np.uint8)
         out_off = np.frombuffer(out_off_b, np.int64)
         for i, b in enumerate(todo):
             b.polished = out_flat[out_off[i]:out_off[i + 1]].copy()
         return
     for b in todo:
-        seq = polish_homopolymers(b.polished, b.branches, platform)
+        seq = polish_homopolymers(b.polished, b.branches, platform,
+                                  min_obs=_HOPO_MIN_OBS,
+                                  margin=_HOPO_MARGIN)
         seq = fix_dinucleotide_repeats(seq, b.branches)
         b.polished = seq
 

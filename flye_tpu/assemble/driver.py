@@ -75,8 +75,26 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         logger.debug("Expected read coverage: %d; capping per-read "
                      "overlaps at %d", coverage, max_cur_overlaps)
 
+    import os
+
+    from flye_tpu.parallel.runtime import get_runtime
+    rt = get_runtime()
+    # hash-partitioned multi-process mode: each process builds and
+    # holds only its k-mer hash shard of the index (~1/P memory) and
+    # the ava probes route through the file bus
+    # (parallel/partitioned.py)
+    partitioned = (rt.process_count > 1 and
+                   os.environ.get("FLYE_TPU_PARTITIONED") == "1")
     with stage_timer("index build"):
-        index = build_read_index(store, cfg)
+        if partitioned:
+            if work_dir is None:
+                raise ValueError("partitioned build needs a shared "
+                                 "work_dir")
+            from flye_tpu.parallel.partitioned import \
+                build_partitioned_index
+            index = build_partitioned_index(store, cfg, work_dir, rt)
+        else:
+            index = build_read_index(store, cfg)
 
     engine = OverlapEngine(
         store, index,
@@ -94,7 +112,12 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
     # access, the dominant host allocation at scale (overlap/packed.py)
     ovlp_store = OverlapStore(engine, store, packed=True)
     with stage_timer("divergence estimation"):
-        ovlp_store.estimate_overlaper_parameters()
+        if partitioned:
+            from flye_tpu.parallel.partitioned import \
+                partitioned_estimate_divergence
+            partitioned_estimate_divergence(ovlp_store, work_dir, rt)
+        else:
+            ovlp_store.estimate_overlaper_parameters()
         ovlp_store.set_divergence_threshold(
             cfg.assemble_ovlp_divergence,
             relative=bool(cfg.assemble_divergence_relative))
@@ -118,23 +141,26 @@ def assemble_disjointigs(store: SequenceStore, cfg: Config,
         max_inner_fraction=cfg.max_inner_fraction,
         add_unassembled_reads=bool(cfg.add_unassembled_reads))
 
-    from flye_tpu.parallel.runtime import get_runtime
-    rt = get_runtime()
     if rt.process_count > 1:
-        import os
-
         from flye_tpu.parallel.distributed import (host_partition,
                                                    is_coordinator)
         if work_dir is None:
             raise ValueError("multi-host run needs a shared work_dir "
                              "for the ava shard exchange")
         with stage_timer("overlap prefetch (host shard)"):
-            mine = host_partition(store.ids(), rt.process_index,
-                                  rt.process_count)
-            logger.info("host %d/%d: computing overlaps for %d of %d "
-                        "reads", rt.process_index, rt.process_count,
-                        len(mine), len(store.ids()))
-            ovlp_store.prefetch(mine, progress_every=1000)
+            if partitioned:
+                from flye_tpu.parallel.partitioned import \
+                    partitioned_prefetch
+                partitioned_prefetch(ovlp_store, work_dir, rt,
+                                     progress_every=50)
+            else:
+                mine = host_partition(store.ids(), rt.process_index,
+                                      rt.process_count)
+                logger.info("host %d/%d: computing overlaps for %d of "
+                            "%d reads", rt.process_index,
+                            rt.process_count, len(mine),
+                            len(store.ids()))
+                ovlp_store.prefetch(mine, progress_every=1000)
             if not is_coordinator():
                 ovlp_store.dump_shard(os.path.join(
                     work_dir, f"ava_shard_{rt.process_index}.npz"))

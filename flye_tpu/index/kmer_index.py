@@ -361,9 +361,16 @@ class KmerIndex:
                 (sp & 1).astype(bool))
 
     def _finalize(self, kmers, seq, pos, flip, min_cov: int,
-                  repeat_kmer_rate: float, drop_mask: Optional[np.ndarray] = None):
+                  repeat_kmer_rate: float, drop_mask: Optional[np.ndarray] = None,
+                  mean_freq_override: Optional[float] = None):
         """Group sorted triples, apply the repetitive-kmer filter, and
-        publish the index arrays."""
+        publish the index arrays.
+
+        mean_freq_override supplies the GLOBAL mean k-mer frequency
+        when this index holds only one hash-shard partition (the
+        multi-process partitioned build, parallel/partitioned.py):
+        the repetitive cutoff is rate x global mean, which a partition
+        cannot compute from its own counts alone."""
         if drop_mask is not None and drop_mask.any():
             keep = ~drop_mask
             kmers, seq, pos, flip = kmers[keep], seq[keep], pos[keep], flip[keep]
@@ -387,7 +394,8 @@ class KmerIndex:
         eligible = counts >= min_cov
         total = int(counts[eligible].sum())
         uniq_n = int(eligible.sum())
-        mean_freq = total / (uniq_n + 1)
+        mean_freq = (mean_freq_override if mean_freq_override is not None
+                     else total / (uniq_n + 1))
         self.repetitive_cutoff = repeat_kmer_rate * mean_freq
         repetitive = counts > self.repetitive_cutoff
         n_rep = int(counts[repetitive].sum())
@@ -565,15 +573,30 @@ class KmerIndex:
             freq = np.empty(len(kmers), dtype=np.int64)
             freq[order] = np.repeat(cnt_vals, cnt_vals)
 
-        # Per-read frequency threshold: keep positions whose global
-        # frequency marks them as genuine (error k-mers barely recur).
-        # The reference keeps each read's top `select_rate` fraction by
-        # frequency rank (vertex_index.cpp:440-480); a rank cut drops
-        # spatially-contiguous low-coverage stretches and truncates
-        # chains on low-error data, so the threshold form is used
-        # instead: thr = max(global_min, min(4, select_rate * p90)),
-        # which adapts to each read's abundance (meta) while never
-        # gapping an isolate.
+        return self._select_with_freq(kmers, seq, pos, flip, freq,
+                                      select_rate, tandem_freq,
+                                      global_min_freq)
+
+    def _select_with_freq(self, kmers, seq, pos, flip, freq,
+                          select_rate, tandem_freq, global_min_freq):
+        """Per-read frequency-threshold selection given each stream
+        position's GLOBAL frequency.  Split out so the hash-partitioned
+        multi-process build (parallel/partitioned.py) can reuse it: it
+        computes global frequencies via a count exchange, then selects
+        locally over its read partition — byte-identical to the
+        single-process pass because selection is per-read.
+
+        Keep positions whose global frequency marks them as genuine
+        (error k-mers barely recur).  The reference keeps each read's
+        top `select_rate` fraction by frequency rank
+        (vertex_index.cpp:440-480); a rank cut drops
+        spatially-contiguous low-coverage stretches and truncates
+        chains on low-error data, so the threshold form is used
+        instead: thr = max(global_min, min(4, select_rate * p90)),
+        which adapts to each read's abundance (meta) while never
+        gapping an isolate."""
+        from flye_tpu import native
+        mod = native.get()
         read_starts = np.flatnonzero(
             np.concatenate([[True], seq[1:] != seq[:-1]]))
         read_ends = np.concatenate([read_starts[1:], [len(kmers)]])

@@ -542,9 +542,13 @@ def run_pipeline(args) -> int:
             if os.path.isdir(bus_dir):
                 _sh.rmtree(bus_dir)  # stale sentinels from a resume
             # stale barrier sentinels from a crashed prior attempt make
-            # the barrier pass before workers republish their shards
+            # the barrier pass before workers republish their shards;
+            # stale .partition transports would likewise be read as
+            # fresh exchanges
             for bar_dir in glob.glob(
-                    os.path.join(ctx.out_dir, "*", ".barriers")):
+                    os.path.join(ctx.out_dir, "*", ".barriers")) + \
+                    glob.glob(os.path.join(ctx.out_dir, "*",
+                                           ".partition")):
                 _sh.rmtree(bar_dir)
         bus = TaskBus(bus_dir, rt.process_index)
         # workers abort barrier waits once the coordinator writes DONE

@@ -414,9 +414,25 @@ class OverlapEngine:
         (reference analog: src/sequence/overlap.cpp:99-427, whose
         inner loops are C++ for the same reason)."""
         nq = len(sids)
-        results: Dict[int, List[Overlap]] = {sid: [] for sid in sids}
         if nq == 0:
-            return results
+            return {}
+        streams = self._match_streams(mod, query_store, sids, symmetric)
+        return self._finish_from_matches(mod, query_store, sids,
+                                         streams, force_local,
+                                         max_overlaps, symmetric)
+
+    def _match_streams(self, mod, query_store, sids, symmetric):
+        """Probe + posting gather for a batch of query strands; returns
+        the per-query match streams
+        (qpos, extid, extpos, qbounds, filt, foff) — everything the
+        chain/finish half needs, in exchange-friendly array form.  In
+        the hash-partitioned multi-process mode each shard owner runs
+        this against its LOCAL index partition and ships the streams to
+        the read owner (parallel/partitioned.py): every query position
+        carries exactly one k-mer, which lives in exactly one shard, so
+        a stable merge by position reproduces this function's stream
+        byte-for-byte."""
+        nq = len(sids)
         lengths = [query_store.length(s) for s in sids]
         probe_res = None
         with _phase("probe"):
@@ -461,7 +477,6 @@ class OverlapEngine:
                 probe_res = self.index.probe_stream_flat(query_store,
                                                          sids)
         g_hit, row_hit, fwd_hit, g_rep, starts, _ = probe_res
-        query_meta = list(zip(sids, lengths))
         # per-query filtered (repetitive-kmer) positions: g_rep is
         # ascending in stream order, so per-query slices stay sorted
         rep_qi = np.searchsorted(starts, g_rep, side="right") - 1
@@ -469,7 +484,6 @@ class OverlapEngine:
             (g_rep - starts[rep_qi]), dtype=np.int64)
         foff = np.searchsorted(rep_qi, np.arange(nq + 1)).astype(
             np.int64)
-        curlens = np.asarray(lengths, dtype=np.int32)
         tlens = np.ascontiguousarray(self._target_lengths,
                                      dtype=np.int64)
         with _phase("gather"):
@@ -490,6 +504,30 @@ class OverlapEngine:
                 tlens, np.ascontiguousarray(starts, dtype=np.int64),
                 np.asarray(sids, dtype=np.int64),
                 len(g_hit), nq, int(self.k), int(symmetric))
+        return (np.frombuffer(qpos_b, dtype=np.int32),
+                np.frombuffer(extid_b, dtype=np.int64),
+                np.frombuffer(extpos_b, dtype=np.int32),
+                np.frombuffer(qb_b, dtype=np.int64),
+                filt, foff)
+
+    def _finish_from_matches(self, mod, query_store, sids, streams,
+                             force_local, max_overlaps, symmetric):
+        """Chain + extract + divergence from match streams (the second
+        half of the native batch path; see _match_streams)."""
+        nq = len(sids)
+        results: Dict[int, List[Overlap]] = {sid: [] for sid in sids}
+        lengths = [query_store.length(s) for s in sids]
+        query_meta = list(zip(sids, lengths))
+        curlens = np.asarray(lengths, dtype=np.int32)
+        tlens = np.ascontiguousarray(self._target_lengths,
+                                     dtype=np.int64)
+        qpos_m, extid_m, extpos_m, qb_m, filt, foff = streams
+        qpos_b = np.ascontiguousarray(qpos_m, dtype=np.int32)
+        extid_b = np.ascontiguousarray(extid_m, dtype=np.int64)
+        extpos_b = np.ascontiguousarray(extpos_m, dtype=np.int32)
+        qb_b = np.ascontiguousarray(qb_m, dtype=np.int64)
+        filt = np.ascontiguousarray(filt, dtype=np.int64)
+        foff = np.ascontiguousarray(foff, dtype=np.int64)
         min_surv = _MIN_KMER_SURVIVAL_RATE * self.min_overlap
         with _phase("prep"):
             (qi_b, eid_b, elen_b, stride_b, goff_b, gcur_b, gext_b) = \

@@ -13,6 +13,7 @@ polishing iteration zero").
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -48,8 +49,8 @@ _PRE_POLISH = 5        # median-length branch prepass threshold x2
 # likelihood margin over keeping the current length — swept on the
 # 420 kb parity set, where the ungated pass was a net error SOURCE at
 # <=6-branch coverage (its instrument prior overrode thin data)
-_HOPO_MIN_OBS = 2
-_HOPO_MARGIN = 0.0
+_HOPO_MIN_OBS = int(os.environ.get("FLYE_TPU_HOPO_MIN_OBS", "2"))
+_HOPO_MARGIN = float(os.environ.get("FLYE_TPU_HOPO_MARGIN", "0.0"))
 
 
 def _bucket_for(c: int, s: int) -> Tuple[int, int]:

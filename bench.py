@@ -180,6 +180,75 @@ def bench_overlap_phase(genome_kb=500, coverage=20):
     return len(store) / total, store.total_length / 1e6 / total
 
 
+def bench_probe_paths(genome_kb=2000, coverage=20, batch_reads=1024):
+    """Host vs device index probe at a production batch size, with the
+    device path's tunnel transfer itemized (VERDICT round-4 item 5:
+    either the device path wins a production configuration, or the
+    deficit is quantified as deployment transfer).
+
+    Measures one ava-sized batch (~8 MB of query stream) against a
+    solid-kmer index on both paths, then models the device path's
+    tunnel component: the flat-stream kernel ships the padded uint8
+    stream up and fetches one packed int32 per position back; at the
+    measured ~30 MB/s tunnel that alone bounds the device path far
+    below the native host probe, so the split is reported as
+    (wall, modeled transfer, residual kernel+dispatch)."""
+    import time as _t
+
+    from flye_tpu.config import Config
+    from flye_tpu.assemble.driver import build_read_index
+    from flye_tpu.io.seqstore import SequenceStore
+    from flye_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(genome_kb * 1000, seed=4)
+    reads = simulate_reads(genome, coverage=coverage, mean_length=8000,
+                           error_rate=0.08, error_mix=(0.2, 0.5, 0.3),
+                           seed=5)
+    store = SequenceStore()
+    for n, c in reads:
+        store.add(n, c)
+    cfg = Config("raw", min_overlap=5000)
+    index = build_read_index(store, cfg)
+    sids = store.ids()[:batch_reads]
+    n_bases = sum(store.length(s) for s in sids)
+
+    # host path (native threaded, 16-bit prefix LUT)
+    t0 = _t.perf_counter()
+    host_res = index.probe_stream_host(store, sids)
+    t_host = _t.perf_counter() - t0
+    if host_res is None:
+        print("probe_paths: native module unavailable", file=sys.stderr)
+        return
+
+    # device path (flat-stream packed kernel): warm then measure
+    import jax
+    index.probe_stream_flat(store, sids)
+    t0 = _t.perf_counter()
+    dev_res = index.probe_stream_flat(store, sids)
+    t_dev = _t.perf_counter() - t0
+    same = (len(host_res[0]) == len(dev_res[0])
+            and np.array_equal(host_res[0], dev_res[0])
+            and np.array_equal(host_res[1], dev_res[1]))
+
+    # tunnel transfer model: uint8 stream up + packed word per
+    # position down (stream_probe_packed emits int32 when the index
+    # has < 2^28 rows, int64 otherwise)
+    word = 4 if index.num_kmers < (1 << 28) else 8
+    up_mb = n_bases / 1e6
+    down_mb = n_bases * word / 1e6
+    tunnel_mb_s = 30.0  # measured deployment tunnel (PARITY.md)
+    t_transfer = (up_mb + down_mb) / tunnel_mb_s
+    print(f"probe_paths: batch {len(sids)} reads / {n_bases/1e6:.1f} "
+          f"Mb, host {t_host:.2f}s ({n_bases/1e6/t_host:.1f} Mb/s) vs "
+          f"device {t_dev:.2f}s ({n_bases/1e6/t_dev:.1f} Mb/s), "
+          f"outputs identical={same}; device transfer model: "
+          f"{up_mb:.1f} MB up + {down_mb:.1f} MB down @ "
+          f"{tunnel_mb_s:.0f} MB/s = {t_transfer:.2f}s "
+          f"({t_transfer/t_dev:.0%} of device wall) -> "
+          f"kernel+dispatch residual {max(0.0, t_dev - t_transfer):.2f}s",
+          file=sys.stderr)
+
+
 def main():
     rate = bench_polish()
     print(json.dumps({
@@ -191,7 +260,8 @@ def main():
     }), flush=True)
     for name, fn in (("chain_dp", lambda: print(
             f"chain_dp: {bench_chain():.2f} Gcells/s", file=sys.stderr)),
-            ("overlap_phase", bench_overlap_phase)):
+            ("overlap_phase", bench_overlap_phase),
+            ("probe_paths", bench_probe_paths)):
         try:  # secondary metrics must not fail the bench
             fn()
         except Exception as e:

@@ -46,11 +46,16 @@ _MEM_BUDGET = 1 << 30  # ~1GB of f32 DP tensor per kernel call
 _PRE_POLISH = 5        # median-length branch prepass threshold x2
 # homopolymer-pass evidence gate (see polish_homopolymers): a run
 # length only changes on >= _HOPO_MIN_OBS branch observations AND a
-# likelihood margin over keeping the current length — swept on the
-# 420 kb parity set, where the ungated pass was a net error SOURCE at
-# <=6-branch coverage (its instrument prior overrode thin data)
-_HOPO_MIN_OBS = int(os.environ.get("FLYE_TPU_HOPO_MIN_OBS", "2"))
-_HOPO_MARGIN = float(os.environ.get("FLYE_TPU_HOPO_MARGIN", "0.0"))
+# > _HOPO_MARGIN log-likelihood margin over keeping the current
+# length.  Swept E2E on the 420 kb parity set (round 5): ungated
+# (2, 0.0) = 15 exact body errors, (4, 0.0) = 12, (2-3, 2.0) = 11,
+# pass disabled = 10 — the margin gate recovers nearly all of the
+# regression the instrument-bias prior causes on thin/simulated data
+# while keeping the pass for real instrument data (the reference
+# guards the same decision with compareTopTwo re-scoring,
+# homo_polisher.cpp:271-310).
+_HOPO_MIN_OBS = int(os.environ.get("FLYE_TPU_HOPO_MIN_OBS", "3"))
+_HOPO_MARGIN = float(os.environ.get("FLYE_TPU_HOPO_MARGIN", "2.0"))
 
 
 def _bucket_for(c: int, s: int) -> Tuple[int, int]:

@@ -48,44 +48,84 @@ def encode_overlaps(ovlps: List[Overlap]):
     """Flat (recs, d16, raw) arrays for a list of overlaps — the same
     layout PackedOverlaps stores per read, usable standalone for file
     transport (the task-bus mapping partition ships per-target
-    alignment lists this way)."""
+    alignment lists this way).
+
+    Column-vectorized: the original per-overlap loop with per-field
+    structured-array writes cost ~20 µs/overlap, which at the 4.6 Mb
+    head-to-head's ~1.4 M ava overlaps was ~30-70 s of the prefetch
+    wall (measured regression, round 5)."""
     n = len(ovlps)
     recs = np.zeros(n, REC_DT)
-    d16_parts: List[np.ndarray] = []
-    raw_parts: List[np.ndarray] = []
-    off16 = 0
-    offraw = 0
-    for i, o in enumerate(ovlps):
-        r = recs[i]
-        r["cur_id"] = o.cur_id
-        r["ext_id"] = o.ext_id
-        r["cb"], r["ce"], r["cl"] = o.cur_begin, o.cur_end, o.cur_len
-        r["eb"], r["ee"], r["el"] = o.ext_begin, o.ext_end, o.ext_len
-        r["score"] = o.score
-        r["div"] = o.divergence
-        km = o.kmer_matches
-        if km is None or len(km) == 0:
-            r["a_n"] = 0
-            continue
-        km = np.asarray(km, np.int64)
-        r["a_n"] = len(km)
-        r["first_c"], r["first_e"] = int(km[0, 0]), int(km[0, 1])
-        if len(km) == 1:
-            r["a_off"] = off16
-            continue
-        d = np.diff(km, axis=0)
-        if np.abs(d).max() <= _D16_MAX:
-            r["a_off"] = off16
-            d16_parts.append(d.astype(np.int16).ravel())
-            off16 += len(km) - 1
-        else:
-            r["a_off"] = ~offraw
-            raw_parts.append(km.astype(np.int32).ravel())
-            offraw += len(km)
-    d16 = (np.concatenate(d16_parts) if d16_parts
-           else np.zeros(0, np.int16))
-    raw = (np.concatenate(raw_parts) if raw_parts
-           else np.zeros(0, np.int32))
+    if n == 0:
+        return recs, np.zeros(0, np.int16), np.zeros(0, np.int32)
+    recs["cur_id"] = [o.cur_id for o in ovlps]
+    recs["ext_id"] = [o.ext_id for o in ovlps]
+    recs["cb"] = [o.cur_begin for o in ovlps]
+    recs["ce"] = [o.cur_end for o in ovlps]
+    recs["cl"] = [o.cur_len for o in ovlps]
+    recs["eb"] = [o.ext_begin for o in ovlps]
+    recs["ee"] = [o.ext_end for o in ovlps]
+    recs["el"] = [o.ext_len for o in ovlps]
+    recs["score"] = [o.score for o in ovlps]
+    recs["div"] = [o.divergence for o in ovlps]
+
+    kms = [o.kmer_matches for o in ovlps]
+    a_n = np.asarray([0 if km is None else len(km) for km in kms],
+                     np.int64)
+    recs["a_n"] = a_n
+    with_a = np.flatnonzero(a_n > 0)
+    if len(with_a) == 0:
+        return recs, np.zeros(0, np.int16), np.zeros(0, np.int32)
+    recs["first_c"][with_a] = [int(kms[i][0, 0]) for i in with_a]
+    recs["first_e"][with_a] = [int(kms[i][0, 1]) for i in with_a]
+
+    # one concatenated anchor stream; per-overlap deltas = adjacent
+    # diffs with the rows crossing overlap boundaries masked out
+    multi = np.flatnonzero(a_n > 1)
+    if len(multi) == 0:
+        return recs, np.zeros(0, np.int16), np.zeros(0, np.int32)
+    cat = np.concatenate([np.asarray(kms[i], np.int64)
+                          for i in multi], axis=0)
+    lens = a_n[multi]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    d_all = cat[1:] - cat[:-1]                  # (T-1, 2)
+    # delta row j belongs to overlap g iff j, j+1 both inside g:
+    # valid rows are everything except indices ends[:-1]-? — row j is a
+    # boundary crossing iff j+1 is a segment start, i.e. j in ends[:-1]
+    valid = np.ones(len(d_all), bool)
+    valid[ends[:-1] - 1] = False
+    d_seg = d_all[valid]                        # per-overlap deltas
+    dlens = lens - 1
+    dends = np.cumsum(dlens)
+    dstarts = dends - dlens
+    # per-overlap max |delta| (reduceat over the packed delta rows)
+    absmax = np.maximum.reduceat(
+        np.abs(d_seg).max(axis=1), dstarts)
+    small = absmax <= _D16_MAX
+
+    # int16 arena: deltas of the small overlaps, in order
+    take16 = np.zeros(len(d_seg), bool)
+    for gi in np.flatnonzero(small):
+        take16[dstarts[gi]:dends[gi]] = True
+    d16 = d_seg[take16].astype(np.int16).ravel()
+    off16 = np.zeros(len(multi), np.int64)
+    np.cumsum(dlens * small, out=off16)
+    off16 = np.concatenate([[0], off16[:-1]])
+    # raw arena: full anchors of the big overlaps
+    big = np.flatnonzero(~small)
+    if len(big):
+        raw = np.concatenate([cat[starts[gi]:ends[gi]]
+                              for gi in big]).astype(np.int32).ravel()
+        offraw = np.zeros(len(multi), np.int64)
+        np.cumsum(lens * ~small, out=offraw)
+        offraw = np.concatenate([[0], offraw[:-1]])
+    else:
+        raw = np.zeros(0, np.int32)
+        offraw = np.zeros(len(multi), np.int64)
+    a_off = np.where(small, off16, ~offraw)
+    recs["a_off"][multi] = a_off
+    # single-anchor overlaps: a_off stays 0 (decode reads first_c/e)
     return recs, d16, raw
 
 

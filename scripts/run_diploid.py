@@ -20,8 +20,18 @@ het sites; with 0.3% het SNPs that is >= 0.9985 plus polish residue),
 and the identity vs the better of the two haplotypes per window.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, "/root/repo")
+
+# FLYE_TPU_CPU=1 pins this run to the CPU backend (so a scale run can
+# own the chip concurrently); must happen before any jax array use
+if os.environ.get("FLYE_TPU_CPU") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

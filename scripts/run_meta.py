@@ -11,8 +11,18 @@ Usage: python scripts/run_meta.py [outdir]
        (community spec is fixed: ~12 Mb total, coverages 50/25/10/5)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, "/root/repo")
+
+# FLYE_TPU_CPU=1 pins this run to the CPU backend (so a scale run can
+# own the chip concurrently); must happen before any jax array use
+if os.environ.get("FLYE_TPU_CPU") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

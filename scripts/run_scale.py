@@ -13,6 +13,8 @@ read-type flag and a matching simulated error profile.
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 MODES = {

@@ -10,6 +10,7 @@ mode: pacbio-raw (default) | nano-raw | pacbio-hifi — picks the CLI
 read-type flag and a matching simulated error profile.
 """
 
+import os
 import sys
 import time
 
@@ -130,13 +131,20 @@ def main():
           flush=True)
     genome = random_genome(glen, seed=11,
                            repeat_spec=[(5000, 3), (2000, 4)])
-    t0 = time.perf_counter()
-    reads = simulate_reads(genome, coverage=cov, mean_length=8000,
-                           error_rate=err, error_mix=mix, seed=7)
-    print(f"[scale] simulated {len(reads)} reads in "
-          f"{time.perf_counter() - t0:.0f}s", flush=True)
     reads_path = outdir + ".reads.fasta"
-    write_fasta(reads, reads_path)
+    if os.path.exists(reads_path) and os.path.getsize(reads_path) > 0:
+        # deterministic simulation (fixed seeds): an existing reads
+        # file for this outdir is identical to what we would write, so
+        # reuse it (lets a long run pre-generate reads, and a relaunch
+        # after an interruption skip the ~minutes of simulation)
+        print(f"[scale] reusing existing {reads_path}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        reads = simulate_reads(genome, coverage=cov, mean_length=8000,
+                               error_rate=err, error_mix=mix, seed=7)
+        print(f"[scale] simulated {len(reads)} reads in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        write_fasta(reads, reads_path)
 
     from flye_tpu.main import main as flye_main
     t0 = time.perf_counter()
